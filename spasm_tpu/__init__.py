@@ -25,6 +25,8 @@ as int32, exactly like the reference (spasm.h:28, spasm_ZZp.c:17-24), so
 artifacts (SMS files, certificates, PRNG streams) interoperate bit-for-bit.
 """
 
+import os as _os
+
 import jax as _jax
 
 # The engine relies on int64 host/device scalars for exact arithmetic with
@@ -32,11 +34,40 @@ import jax as _jax
 # 32-bit pairs; the hot inner loops use int8/int32 digit arithmetic instead.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: the elimination kernels are heavy programs
+# and this host compiles slowly; cache across processes.
+_cache = _os.environ.get("SPASM_TPU_XLA_CACHE",
+                         _os.path.expanduser("~/.cache/spasm_tpu_xla"))
+try:
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:                                    # pragma: no cover
+    pass
+
 __version__ = "0.1.0"
 
 from .field import Field                                      # noqa: E402
 from .csr import CSR, COO                                     # noqa: E402
 from .hashing import PRNG, sha256_new                         # noqa: E402
 from . import sio                                             # noqa: E402
+from .echelonize import EchelonizeOptions, echelonize, LU     # noqa: E402
+from .solve import solve, gesv                                # noqa: E402
+from .kernel import kernel, kernel_from_rref                  # noqa: E402
+from .rref import rref                                        # noqa: E402
+from .certificate import (rank_certificate_create,            # noqa: E402
+                          rank_certificate_verify,
+                          factorization_verify,
+                          certificate_save, certificate_load)
+from .dm import dulmage_mendelsohn, strongly_connected_components  # noqa: E402
+from .matching import maximum_matching, structural_rank       # noqa: E402
 
-__all__ = ["Field", "CSR", "COO", "PRNG", "sha256_new", "sio"]
+__all__ = [
+    "Field", "CSR", "COO", "PRNG", "sha256_new", "sio",
+    "EchelonizeOptions", "echelonize", "LU", "solve", "gesv",
+    "kernel", "kernel_from_rref", "rref",
+    "rank_certificate_create", "rank_certificate_verify",
+    "factorization_verify", "certificate_save", "certificate_load",
+    "dulmage_mendelsohn", "strongly_connected_components",
+    "maximum_matching", "structural_rank",
+]

@@ -1,0 +1,462 @@
+"""The echelonization engine: round-structured structural pivoting + Schur
+complements + dense finishers.
+
+The capability equivalent of /root/reference/src/spasm_echelonize.c, with
+the execution model inverted for TPUs (SURVEY.md §7): structural pivot
+rounds run as host graph passes; all arithmetic-heavy elimination flows
+through the chunked device eliminator and the blocked device RREF/PLUQ
+(spasm_tpu.dense), with the per-row Gilbert-Peierls solver kept as the
+sparse finisher of last resort.
+
+Round loop (defaults mirror spasm_echelonize_init_opts,
+spasm_echelonize.c:9-28): find structural pivots -> stop if too few
+(min_pivot_proportion) or the Schur complement is too dense
+(sparsity_threshold) or max_round reached -> else compute the sparse Schur
+complement and iterate on it.  Finalization: aspect ratio >
+tall_and_skinny_ratio -> randomized low-rank; density > threshold ->
+blocked dense; else GPLU.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .csr import CSR
+from .field import Field
+from .pivots import find_structural_pivots
+from .schur import (estimate_density, schur_sparse, schur_dense_block,
+                    schur_dense_randomized)
+from .triangular import sparse_triangular_solve
+from .dense.elim import dense_rref, dense_lu, dense_rank
+from .dense.block import UEliminator
+
+log = logging.getLogger("spasm_tpu")
+if not log.handlers:
+    _h = logging.StreamHandler(sys.stderr)
+    _h.setFormatter(logging.Formatter("%(message)s"))
+    log.addHandler(_h)
+    log.setLevel(logging.INFO)
+
+
+@dataclasses.dataclass
+class EchelonizeOptions:
+    """Mirror of struct echelonize_opts (spasm.h:84-108) with the
+    reference defaults (spasm_echelonize.c:9-28)."""
+    enable_greedy_pivot_search: bool = True
+    enable_tall_and_skinny: bool = True
+    enable_dense: bool = True
+    enable_GPLU: bool = True
+    L: bool = False
+    complete: bool = False
+    min_pivot_proportion: float = 0.1
+    max_round: int = 3
+    sparsity_threshold: float = 0.05
+    tall_and_skinny_ratio: float = 5.0
+    dense_block_size: int = 1000
+    low_rank_ratio: float = 0.5
+    low_rank_start_weight: int = -1
+
+
+class _LBuilder:
+    """Triplet accumulator for L (the reference's Ltmp)."""
+
+    def __init__(self, prime: int):
+        self.prime = prime
+        self.rows: List[np.ndarray] = []
+        self.cols: List[np.ndarray] = []
+        self.vals: List[np.ndarray] = []
+
+    def add(self, i: int, j: int, x: int):
+        self.add_batch(np.asarray([i], np.int64), np.asarray([j], np.int64),
+                       np.asarray([x], np.int64))
+
+    def add_batch(self, i, j, x):
+        self.rows.append(np.asarray(i, np.int64))
+        self.cols.append(np.asarray(j, np.int64))
+        self.vals.append(np.asarray(x, np.int64))
+
+    def truncate(self) -> int:
+        return len(self.rows)
+
+    def rollback_filter(self, mark: int, keep_row) -> None:
+        """Drop entries added after `mark` whose row fails keep_row."""
+        for k in range(mark, len(self.rows)):
+            sel = keep_row(self.rows[k])
+            self.rows[k] = self.rows[k][sel]
+            self.cols[k] = self.cols[k][sel]
+            self.vals[k] = self.vals[k][sel]
+
+    def build(self, n: int, ncols: int) -> CSR:
+        from .csr import COO
+        if self.rows:
+            r = np.concatenate(self.rows)
+            c = np.concatenate(self.cols)
+            v = np.concatenate(self.vals)
+        else:
+            r = c = v = np.empty(0, np.int64)
+        T = COO.from_entries(n, max(ncols, 1), self.prime, r, c, v)
+        T.n, T.m = n, max(ncols, 1)
+        A = T.tocsr()
+        A.resize(n, ncols)
+        return A
+
+
+class _UBuilder:
+    """Incremental U accumulator: rows with unitary pivots first."""
+
+    def __init__(self, m: int, prime: int):
+        self.m = m
+        self.prime = prime
+        self.field = Field(prime)
+        self.rows: List[tuple] = []      # (cols, vals), pivot first
+        self.qinv = np.full(m, -1, dtype=np.int64)
+        self.pivcol: List[int] = []
+
+    @property
+    def n(self) -> int:
+        return len(self.rows)
+
+    def add_row(self, pivcol: int, cols: np.ndarray, vals: np.ndarray):
+        """cols/vals: full row with value 1 at pivcol; pivot stored first."""
+        k = len(self.rows)
+        sel = cols != pivcol
+        c = np.concatenate(([pivcol], cols[sel])).astype(np.int32)
+        v = np.concatenate(([1], vals[sel])).astype(np.int32)
+        self.rows.append((c, v))
+        self.qinv[pivcol] = k
+        self.pivcol.append(int(pivcol))
+
+    def snapshot_csr(self) -> CSR:
+        return CSR.from_rows(self.n, self.m, self.prime, self.rows)
+
+    def nnz(self) -> int:
+        return sum(c.size for c, _ in self.rows)
+
+
+@dataclasses.dataclass
+class LU:
+    """Result object (the reference's struct spasm_lu, spasm.h:64-72)."""
+    r: int
+    U: CSR
+    qinv: np.ndarray            # (m,) pivot of col j on row qinv[j] of U
+    L: Optional[CSR] = None
+    p: Optional[np.ndarray] = None   # (r,) original row of pivot k
+    complete: bool = False
+
+
+class _Engine:
+    def __init__(self, A: CSR, opts: EchelonizeOptions):
+        self.A0 = A
+        self.opts = opts
+        self.m = A.m
+        self.prime = A.prime
+        self.field = A.field
+        self.U = _UBuilder(A.m, A.prime)
+        self.L = _LBuilder(A.prime) if opts.L else None
+        self.Lp: List[int] = []          # original pivot row per U row
+        self.elim = UEliminator(A.m, A.prime)
+
+    # -- U update helpers --------------------------------------------------
+
+    def _push_u_row(self, pivcol: int, cols, vals):
+        self.U.add_row(pivcol, np.asarray(cols), np.asarray(vals))
+        cols_p, vals_p = self.U.rows[-1]
+        self.elim.append_rows(
+            [(cols_p.astype(np.int64), vals_p, int(pivcol))], flush=False)
+
+    def extract_structural(self, S: CSR, p_in) -> tuple:
+        """Find structural pivots in S, push them to U/L.
+        Returns (npiv, p) with pivotal rows of S first in topo order.
+        (reference: spasm_pivots_extract_structural, spasm_pivots.c:369-448)
+        """
+        t0 = time.time()
+        npiv, p, pinv, qinv_loc = find_structural_pivots(
+            S, self.opts.enable_greedy_pivot_search)
+        F = self.field
+        for k in range(npiv):
+            i = int(p[k])
+            j = int(pinv[i])
+            cols, vals = S.row(i)
+            sel = np.nonzero(cols == j)[0]
+            pivot = int(vals[sel[0]])
+            iorig = int(p_in[i]) if p_in is not None else i
+            if self.L is not None:
+                self.L.add(iorig, self.U.n, pivot)
+            self.Lp.append(iorig)
+            alpha = F.inverse(pivot)
+            self._push_u_row(j, cols, F.mul(np.int64(alpha),
+                                            vals.astype(np.int64)))
+        self.elim.flush()
+        log.info("[pivots] %d structural pivots found [%.2fs]",
+                 npiv, time.time() - t0)
+        return npiv, p
+
+    def update_after_rref(self, R: np.ndarray, pivcols: np.ndarray,
+                          q: np.ndarray):
+        """Push dense RREF rows (columns compacted by q) into U.
+        (reference: update_U_after_rref, spasm_echelonize.c:192-223)"""
+        for k in range(len(pivcols)):
+            nz = np.nonzero(R[k])[0]
+            cols = q[nz]
+            self._push_u_row(int(q[pivcols[k]]), cols, R[k][nz])
+        self.elim.flush()
+
+    def update_after_lu(self, rank: int, prows, pivcols, Ld, Urows,
+                        q: np.ndarray, p_out: np.ndarray, lmark: int):
+        """Push dense LU into U and L.
+        (reference: update_fact_after_LU, spasm_echelonize.c:228-313)"""
+        if not self.opts.complete:
+            pivotal = set(int(p_out[r]) for r in prows)
+            self.L.rollback_filter(
+                lmark, lambda rows: np.isin(rows,
+                                            np.asarray(list(pivotal) or [-1])))
+        ubase = self.U.n
+        # L entries from the dense factor
+        nrows = Ld.shape[0]
+        rows_iter = range(nrows) if self.opts.complete else \
+            [int(r) for r in prows]
+        for i in rows_iter:
+            iorig = int(p_out[i])
+            nz = np.nonzero(Ld[i])[0]
+            if nz.size:
+                self.L.add_batch(np.full(nz.size, iorig, np.int64),
+                                 ubase + nz, Ld[i][nz])
+        for k in range(rank):
+            self.Lp.append(int(p_out[prows[k]]))
+            nz = np.nonzero(Urows[k])[0]
+            self._push_u_row(int(q[pivcols[k]]), q[nz], Urows[k][nz])
+        self.elim.flush()
+
+    # -- completion test ---------------------------------------------------
+
+    def test_completion(self, S: CSR, p: np.ndarray, n: int) -> bool:
+        """Probabilistic early-abort test with ceil(128/log2 p) random
+        combinations (spasm_echelonize.c:30-51)."""
+        if n == 0 or S.nnz == 0:
+            return True
+        Sn = int(np.ceil(128 / np.log2(self.prime)))
+        U = self.U.snapshot_csr()
+        X, _ = schur_dense_randomized(S, p, n, U, self.U.qinv, Sn, 0,
+                                      eliminator=self.elim)
+        return dense_rank(X, self.prime) == 0
+
+    # -- finishers ---------------------------------------------------------
+
+    def finish_dense_lowrank(self, S: CSR, p: np.ndarray, n: int):
+        """Randomized tall-and-skinny finisher
+        (echelonize_dense_lowrank, spasm_echelonize.c:315-379)."""
+        opts = self.opts
+        Sm = self.m - self.U.n
+        rank_ub = min(n, Sm)
+        w = int(np.ceil(-np.log(0.01) * n / max(rank_ub, 1))) \
+            if opts.low_rank_start_weight < 0 else opts.low_rank_start_weight
+        t0 = time.time()
+        old_un = self.U.n
+        seed = 0
+        rounds = 0
+        while True:
+            Sn = min(rank_ub, opts.dense_block_size)
+            if Sn <= 0:
+                break
+            U = self.U.snapshot_csr()
+            X, q = schur_dense_randomized(S, p, n, U, self.U.qinv, Sn, w,
+                                          eliminator=self.elim,
+                                          seed_base=seed)
+            seed += Sn
+            R, pivcols = dense_rref(X, self.prime)
+            rr = len(pivcols)
+            if rr == 0:
+                if self.test_completion(S, p, n):
+                    break
+                log.info("[lowrank] failed termination test; full combos")
+                w = 0
+                continue
+            if rr < 0.9 * Sn:
+                w = max(2 * w, 2)
+            self.update_after_rref(R, pivcols, q)
+            rank_ub -= rr
+            rounds += 1
+            log.info("[lowrank] round %d: %d new pivots", rounds, rr)
+        log.info("[lowrank] done in %.1fs, %d new pivots",
+                 time.time() - t0, self.U.n - old_un)
+
+    def finish_dense(self, S: CSR, p: np.ndarray, n: int, p_in):
+        """Blocked dense finisher (echelonize_dense,
+        spasm_echelonize.c:385-463)."""
+        opts = self.opts
+        t0 = time.time()
+        old_un = self.U.n
+        processed = 0
+        lowrank_mode = False
+        while True:
+            Sn = min(opts.dense_block_size, n - processed)
+            if Sn <= 0:
+                break
+            rows = p[processed:processed + Sn]
+            lmark = self.L.truncate() if self.L is not None else 0
+            X, q, p_out = schur_dense_block(S, rows, p_in, self.U.qinv,
+                                            self.elim, self.L,
+                                            U_csr=self.U.snapshot_csr())
+            if opts.L:
+                rank, prows, pivcols, Ld, Urows = dense_lu(X, self.prime)
+                self.update_after_lu(rank, prows, pivcols, Ld, Urows, q,
+                                     p_out, lmark)
+                rr = rank
+            else:
+                R, pivcols = dense_rref(X, self.prime)
+                rr = len(pivcols)
+                self.update_after_rref(R, pivcols, q)
+            processed += Sn
+            log.info("[dense] block of %d rows: %d new pivots", Sn, rr)
+            rank_ub = min(S.n - self.U.n, self.m - self.U.n)
+            if opts.enable_tall_and_skinny and rr < opts.low_rank_ratio * Sn:
+                lowrank_mode = True
+                break
+        if lowrank_mode and n - processed > 0:
+            log.info("[dense] too few pivots; switching to low-rank mode")
+            self.finish_dense_lowrank(S, p[processed:], n - processed)
+        else:
+            log.info("[dense] done in %.1fs, %d new pivots",
+                     time.time() - t0, self.U.n - old_un)
+
+    def finish_gplu(self, S: CSR, p: np.ndarray, n: int, p_in):
+        """Sparse Gilbert-Peierls finisher with leftmost pivoting and
+        probabilistic early abort (echelonize_GPLU,
+        spasm_echelonize.c:54-187)."""
+        opts = self.opts
+        m = self.m
+        r_ub = min(S.n, m)
+        U_dyn = None
+        x = np.zeros(m, dtype=np.int64)
+        F = self.field
+        rows_since_piv = 0
+        early_done = False
+        qinv = self.U.qinv
+        for k in range(n):
+            if self.L is None and self.U.n == r_ub:
+                log.info("[GPLU] full rank reached")
+                break
+            if (self.L is None and not early_done and rows_since_piv > 10
+                    and rows_since_piv > n / 100):
+                log.info("[GPLU] testing for early abort...")
+                if self.test_completion(S, p[k:], n - k):
+                    break
+                early_done = True
+            rows_since_piv += 1
+            inew = int(p[k])
+            iorig = int(p_in[inew]) if p_in is not None else inew
+            U_csr = self.U.snapshot_csr()
+            pattern, x = sparse_triangular_solve(U_csr, S, inew, qinv, x)
+            live = pattern[x[pattern] != 0]
+            cand = live[qinv[live] < 0]
+            if self.L is not None:
+                onpiv = live[qinv[live] >= 0]
+                if onpiv.size:
+                    self.L.add_batch(np.full(onpiv.size, iorig, np.int64),
+                                     qinv[onpiv], x[onpiv])
+            if cand.size == 0:
+                continue
+            jpiv = int(cand.min())
+            pivval = int(x[jpiv])
+            if self.L is not None:
+                self.L.add(iorig, self.U.n, pivval)
+            self.Lp.append(iorig)
+            beta = F.inverse(pivval)
+            keep = np.sort(cand)
+            vals = F.mul(np.int64(beta), x[keep])
+            self._push_u_row(jpiv, keep, vals)
+            rows_since_piv = 0
+            early_done = False
+
+
+def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
+    """Compute a row echelon form of A (optionally a full PLUQ).
+
+    Returns an LU object: U (rank x m CSR, unitary first-entry pivots),
+    qinv; plus L and p when opts.L (A == L@U when opts.complete).
+    (reference: spasm_echelonize, spasm_echelonize.c:473-617)
+    """
+    if opts is None:
+        opts = EchelonizeOptions()
+    else:
+        opts = dataclasses.replace(opts)
+    if opts.complete:
+        opts.L = True
+    if opts.L:
+        opts.enable_tall_and_skinny = False
+
+    n, m = A.n, A.m
+    t0 = time.time()
+    log.info("[echelonize] start on %d x %d, %d nnz", n, m, A.nnz)
+    eng = _Engine(A, opts)
+
+    S = A
+    p_in = None
+    npiv = 0
+    p = np.arange(n, dtype=np.int64)
+    status = 0
+    rnd = 0
+    density = A.nnz / max(n * m, 1)
+    while rnd < opts.max_round:
+        if S.nnz == 0:
+            status = 1
+            break
+        log.info("[echelonize] round %d", rnd)
+        npiv, p = eng.extract_structural(S, p_in)
+        if npiv < opts.min_pivot_proportion * min(S.n, m - eng.U.n):
+            log.info("[echelonize] not enough pivots found; stopping")
+            status = 2
+            break
+        U_csr = eng.U.snapshot_csr()
+        density = estimate_density(S, p[npiv:], S.n - npiv, U_csr,
+                                   eng.U.qinv, 100)
+        if density > opts.sparsity_threshold:
+            log.info("[echelonize] Schur complement is dense (%.2f%%)",
+                     100 * density)
+            status = 2
+            break
+        fact_view = LU(eng.U.n, U_csr, eng.U.qinv)
+        S2, p_out = schur_sparse(S, p[npiv:], S.n - npiv, fact_view,
+                                 density, eng.L, p_in,
+                                 eliminator=eng.elim)
+        S = S2
+        p_in = p_out
+        npiv = 0
+        p = np.arange(S.n, dtype=np.int64)
+        rnd += 1
+
+    if status == 0:
+        npiv = 0
+        p = np.arange(S.n, dtype=np.int64)
+
+    if status != 1:
+        nrem = S.n - npiv
+        aspect = nrem / max(m - eng.U.n, 1)
+        log.info("[echelonize] finishing; density=%.3f aspect=%.1f",
+                 density, aspect)
+        if (opts.enable_tall_and_skinny
+                and aspect > opts.tall_and_skinny_ratio):
+            eng.finish_dense_lowrank(S, p[npiv:], nrem)
+        elif opts.enable_dense and density > opts.sparsity_threshold:
+            eng.finish_dense(S, p[npiv:], nrem, p_in)
+        elif opts.enable_GPLU:
+            eng.finish_gplu(S, p[npiv:], nrem, p_in)
+        else:
+            log.info("[echelonize] no finisher enabled; "
+                     "incomplete echelonization returned")
+
+    U = eng.U.snapshot_csr()
+    r = U.n
+    fact = LU(r, U, eng.U.qinv.copy())
+    if opts.L:
+        fact.L = eng.L.build(n, r)
+        fact.p = np.asarray(eng.Lp[:r], dtype=np.int64)
+        fact.complete = opts.complete
+    log.info("[echelonize] done in %.1fs; rank %d, %d nz in basis",
+             time.time() - t0, r, U.nnz)
+    return fact

@@ -45,8 +45,17 @@ class Field:
         return self.narray(x)
 
     def narray(self, x) -> np.ndarray:
-        """Vectorized normalize -> int32 ndarray."""
-        r = np.asarray(x, dtype=np.int64) % self.p
+        """Vectorized normalize -> int32 ndarray.
+
+        Accepts int64 arrays or object arrays of arbitrary Python ints
+        (used by tests / oracles with products beyond 2^63).
+        """
+        x = np.asarray(x)
+        if x.dtype == object:
+            r = (x % self.p).astype(np.int64) if x.size else \
+                np.zeros(x.shape, np.int64)
+        else:
+            r = x.astype(np.int64) % self.p
         r = np.where(r > self.halfp, r - self.p, r)
         return r.astype(np.int32)
 

@@ -1,0 +1,221 @@
+"""Schur complement formation (sparse and dense) and density estimation.
+
+Functional equivalents of /root/reference/src/spasm_schur.c, re-architected
+for the TPU: rows are processed in dense *blocks* eliminated against U by
+the chunked device eliminator (spasm_tpu.dense.block.UEliminator) instead
+of per-row DFS triangular solves under OpenMP.  Row commit order is the
+input order — deterministic by construction, unlike the reference's
+first-come `omp critical` ordering (spasm_schur.c:114-149).
+
+A scalar (per-row, host) path is kept for very sparse residues and as the
+reference oracle in tests.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .csr import CSR
+from .triangular import sparse_triangular_solve
+from .hashing import PRNG
+from .spmv import scatter
+
+
+def estimate_density(A: CSR, p: np.ndarray, n: int, U: CSR,
+                     qinv: np.ndarray, R: int = 100,
+                     seed: int = 1) -> float:
+    """Sample R random non-pivotal rows through the triangular solver and
+    average the residue density (spasm_schur.c:11-44)."""
+    if n == 0 or A.m == U.n:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    nnz = 0
+    x = np.zeros(A.m, dtype=np.int64)
+    for _ in range(R):
+        inew = int(p[rng.integers(n)])
+        pattern, x = sparse_triangular_solve(U, A, inew, qinv, x)
+        live = pattern[(qinv[pattern] < 0) & (x[pattern] != 0)]
+        nnz += live.size
+    return nnz / (A.m - U.n) / R
+
+
+def _block_rows_dense(A: CSR, rows: np.ndarray) -> np.ndarray:
+    """Densify the given rows of A into a (len(rows), m) int32 block."""
+    X = np.zeros((len(rows), A.m), dtype=np.int32)
+    for k, i in enumerate(rows):
+        cols, vals = A.row(int(i))
+        X[k, cols] = vals
+    return X
+
+
+_DEVICE_THRESHOLD = 1 << 21    # rows*m below this: scalar host path wins
+
+
+def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
+                 L, p_in: Optional[np.ndarray],
+                 eliminator=None, block_size: int = 256,
+                 use_device="auto") -> Tuple[CSR, np.ndarray]:
+    """Schur complement of rows p[0:n] of A w.r.t. the pivots in fact.U.
+
+    Returns (S, p_out): S has A.m columns with entries only on non-pivotal
+    columns; row k of S corresponds to original row p_out[k].
+    Elimination coefficients are appended to the L builder when present.
+    (reference: spasm_schur, spasm_schur.c:61-193)
+    """
+    qinv = fact.qinv
+    U = fact.U
+    m = A.m
+    rows_out: List[tuple] = []
+    p_out = np.empty(n, dtype=np.int64)
+    lrows: List[np.ndarray] = []
+
+    if use_device == "auto":
+        use_device = n * m >= _DEVICE_THRESHOLD
+    if use_device and eliminator is not None and eliminator.nrows > 0:
+        for b0 in range(0, n, block_size):
+            idx = p[b0:b0 + block_size].astype(np.int64)
+            X = _block_rows_dense(A, idx)
+            if X.shape[0] < block_size:
+                X = np.pad(X, ((0, block_size - X.shape[0]), (0, 0)))
+            X = eliminator.eliminate(X)
+            X = X[:len(idx)]
+            piv_mask = qinv >= 0
+            for k, i in enumerate(idx):
+                iorig = int(p_in[i]) if p_in is not None else int(i)
+                p_out[b0 + k] = iorig
+                nz = np.nonzero(X[k])[0]
+                coeffs = nz[piv_mask[nz]]
+                resid = nz[~piv_mask[nz]]
+                rows_out.append((resid.astype(np.int32),
+                                 X[k, resid].astype(np.int32)))
+                if L is not None and coeffs.size:
+                    L.add_batch(np.full(coeffs.size, iorig, np.int64),
+                                qinv[coeffs], X[k, coeffs])
+    else:
+        x = np.zeros(m, dtype=np.int64)
+        for k in range(n):
+            inew = int(p[k])
+            pattern, x = sparse_triangular_solve(U, A, inew, qinv, x)
+            iorig = int(p_in[inew]) if p_in is not None else inew
+            p_out[k] = iorig
+            live = pattern[x[pattern] != 0]
+            on_piv = live[qinv[live] >= 0]
+            off_piv = np.sort(live[qinv[live] < 0])
+            rows_out.append((off_piv.astype(np.int32),
+                             x[off_piv].astype(np.int32)))
+            if L is not None and on_piv.size:
+                L.add_batch(np.full(on_piv.size, iorig, np.int64),
+                            qinv[on_piv], x[on_piv])
+
+    S = CSR.from_rows(n, m, A.prime, rows_out)
+    return S, p_out
+
+
+def schur_dense_block(A: CSR, rows: np.ndarray, p_in: Optional[np.ndarray],
+                      qinv: np.ndarray, eliminator,
+                      L=None, U_csr: Optional[CSR] = None
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense Schur complement of the given rows w.r.t. U (device path).
+
+    Returns (S, q, p_out): S is (len(rows), Sm) dense on the non-pivotal
+    columns listed in q; p_out maps block rows to original row ids.
+    Elimination coefficients go to the L builder (all rows — the caller
+    filters non-pivotal rows when complete=False, mirroring
+    update_fact_after_LU, spasm_echelonize.c:249-271).
+    (reference: spasm_schur_dense, spasm_schur.c:257-333)
+    """
+    m = A.m
+    q = np.nonzero(qinv < 0)[0]
+    X = _block_rows_dense(A, rows)
+    has_pivots = bool(np.any(qinv >= 0))
+    if has_pivots and eliminator is not None and eliminator.nrows > 0 \
+            and (U_csr is None or len(rows) * m >= _DEVICE_THRESHOLD):
+        X = eliminator.eliminate(X)
+    elif has_pivots:
+        if U_csr is None:
+            raise ValueError("schur_dense_block requires an eliminator or "
+                             "a U snapshot when U is nonempty")
+        X = _eliminate_scalar(X, U_csr, qinv)
+    p_out = np.asarray([int(p_in[i]) if p_in is not None else int(i)
+                        for i in rows], dtype=np.int64)
+    if L is not None:
+        piv_cols = np.nonzero(qinv >= 0)[0]
+        C = X[:, piv_cols]
+        for k in range(len(rows)):
+            nz = np.nonzero(C[k])[0]
+            if nz.size:
+                L.add_batch(np.full(nz.size, p_out[k], np.int64),
+                            qinv[piv_cols[nz]], C[k, nz])
+    return X[:, q], q, p_out
+
+
+def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
+                           qinv: np.ndarray, N: int, w: int,
+                           eliminator=None,
+                           seed_base: int = 0) -> Tuple[np.ndarray,
+                                                        np.ndarray]:
+    """N random linear combinations of the Schur complement rows.
+
+    w > 0: combinations of w randomly chosen rows (first coeff 1);
+    w <= 0: combinations of all n rows with PRNG coefficients.
+    Returns (S, q) like schur_dense_block.
+    (reference: spasm_schur_dense_randomized, spasm_schur.c:346-413)
+    """
+    m = A.m
+    prime = A.prime
+    q = np.nonzero(qinv < 0)[0]
+    X = np.zeros((N, m), dtype=np.int64)
+    rng = np.random.default_rng(seed_base + 12345)
+    F = A.field
+    for k in range(N):
+        gen = PRNG.from_u64(prime, k + seed_base, 0)
+        y = X[k]
+        if w <= 0:
+            coeffs = gen.zzp_array(n)
+            _combine_rows(A, p[:n], coeffs, y, F)
+        else:
+            sel = rng.integers(0, n, size=w)
+            coeffs = np.empty(w, np.int32)
+            coeffs[0] = 1
+            if w > 1:
+                coeffs[1:] = gen.zzp_array(w - 1)
+            _combine_rows(A, p[sel], coeffs, y, F)
+    Xi = F.narray(X).astype(np.int32)
+    if eliminator is not None and eliminator.nrows > 0 \
+            and N * m >= _DEVICE_THRESHOLD:
+        Xi = eliminator.eliminate(Xi)
+    elif U.n:
+        Xi = _eliminate_scalar(Xi, U, qinv)
+    return Xi[:, q], q
+
+
+def _combine_rows(A: CSR, rows, coeffs, y: np.ndarray, F):
+    """y += sum coeffs[k] * A[rows[k]] (int64 accumulator, term-reduced)."""
+    for c, i in zip(coeffs, rows):
+        cols, vals = A.row(int(i))
+        if cols.size == 0 or c == 0:
+            continue
+        y[cols] = F.narray(y[cols] + np.int64(c) * vals.astype(np.int64))
+
+
+def _eliminate_scalar(X: np.ndarray, U: CSR, qinv: np.ndarray) -> np.ndarray:
+    """Host fallback: eliminate dense rows against U pivots in order."""
+    F = U.field
+    # pivot column of U row i
+    upiv = np.full(U.n, -1, np.int64)
+    cols_of = np.nonzero(qinv >= 0)[0]
+    upiv[qinv[cols_of]] = cols_of
+    X = X.astype(np.int64)
+    for i in range(U.n):
+        j = upiv[i]
+        coeff = X[:, j].copy()
+        live = np.nonzero(coeff)[0]
+        if live.size == 0:
+            continue
+        cols, vals = U.row(i)
+        X[np.ix_(live, cols)] = F.narray(
+            X[np.ix_(live, cols)]
+            - coeff[live, None] * vals.astype(np.int64)[None, :])
+        X[live, j] = coeff[live]
+    return F.narray(X).astype(np.int32)

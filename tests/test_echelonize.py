@@ -1,0 +1,133 @@
+"""Echelonization property tests (ports of tests/echelonize.c, schur.c).
+
+Self-verification style of the reference: check U is in REF (unit pivots,
+pivot first on its row, no two pivots on one column), and that
+rowspan(A) == rowspan(U) via deterministic triangular-solve inclusion.
+"""
+import numpy as np
+import pytest
+
+from spasm_tpu import sio, echelonize, EchelonizeOptions, rref
+from spasm_tpu.triangular import sparse_triangular_solve
+from spasm_tpu.pivots import find_structural_pivots
+from spasm_tpu.schur import schur_sparse, estimate_density
+from spasm_tpu.echelonize import LU
+from tests.conftest import ALL_TEST_MATRICES, SMALL_MODULI
+
+FAST = ["singular.sms", "small.sms", "m1.sms", "upper_trapeze.sms",
+        "lower_trapeze.sms", "rectangular_h.sms", "rectangular_l.sms",
+        "void.sms", "empty.sms", "dm.sms", "G2.sms", "p3.sms", "t1.sms",
+        "cc.sms", "chains.sms", "singular2.sms", "singular3.sms"]
+
+
+def echelon_form_check(U, qinv_out=None):
+    m = U.m
+    qinv = np.full(m, -1, np.int64)
+    for i in range(U.n):
+        cols, vals = U.row(i)
+        assert cols.size > 0, f"row {i} of U is empty"
+        j = int(cols[0])
+        assert qinv[j] == -1, "pivot under another pivot"
+        assert vals[0] == 1, "pivot not unitary"
+        qinv[j] = i
+    if qinv_out is not None:
+        assert np.array_equal(qinv, np.asarray(qinv_out, np.int64))
+    return qinv
+
+
+def inclusion_check(A, U, qinv):
+    """Every row of A reduces to zero against U (deterministic)."""
+    x = np.zeros(A.m, dtype=np.int64)
+    for i in range(A.n):
+        pattern, x = sparse_triangular_solve(U, A, i, qinv, x)
+        bad = pattern[(qinv[pattern] < 0) & (x[pattern] != 0)]
+        assert bad.size == 0, f"row {i} of A not in rowspan(U)"
+
+
+@pytest.mark.parametrize("p", SMALL_MODULI)
+@pytest.mark.parametrize("name", FAST)
+def test_echelonize_properties(matrix_dir, name, p):
+    A, _ = sio.load_csr(matrix_dir / name, p)
+    fact = echelonize(A)
+    U = fact.U
+    assert U.m == A.m and U.n <= A.n and U.n <= U.m
+    qinv = echelon_form_check(U, fact.qinv)
+    inclusion_check(A, U, qinv)
+
+
+@pytest.mark.parametrize("p", [4294967291])
+@pytest.mark.parametrize("name", ["singular.sms", "m1.sms", "G2.sms"])
+def test_echelonize_biggest_prime(matrix_dir, name, p):
+    A, _ = sio.load_csr(matrix_dir / name, p)
+    fact = echelonize(A)
+    qinv = echelon_form_check(fact.U, fact.qinv)
+    inclusion_check(A, fact.U, qinv)
+
+
+@pytest.mark.parametrize("name", ["medium.sms", "mat364.sms",
+                                  "trefethen_500.sms",
+                                  "BIOMD0000000424.int.mpl.sms"])
+def test_echelonize_medium(matrix_dir, name):
+    A, _ = sio.load_csr(matrix_dir / name, 257)
+    fact = echelonize(A)
+    qinv = echelon_form_check(fact.U, fact.qinv)
+    inclusion_check(A, fact.U, qinv)
+
+
+def test_rref_properties(matrix_dir):
+    A, _ = sio.load_csr(matrix_dir / "singular.sms", 257)
+    fact = echelonize(A)
+    R, Rqinv = rref(fact)
+    # RREF: pivot first, unit, and no entries on other pivot columns
+    for i in range(R.n):
+        cols, vals = R.row(i)
+        assert Rqinv[cols[0]] == i
+        assert vals[0] == 1
+        assert np.all(Rqinv[cols[1:]] < 0)
+    qinv = echelon_form_check(R)
+    inclusion_check(A, R, qinv)
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_schur_no_entries_under_pivots(matrix_dir, name):
+    """Port of tests/schur.c: the Schur complement has no entries on
+    pivotal columns."""
+    p = 257
+    A, _ = sio.load_csr(matrix_dir / name, p)
+    if A.nnz == 0:
+        pytest.skip("empty matrix")
+    from spasm_tpu.echelonize import _Engine
+    eng = _Engine(A, EchelonizeOptions())
+    npiv, perm = eng.extract_structural(A, None)
+    U = eng.U.snapshot_csr()
+    fact_view = LU(eng.U.n, U, eng.U.qinv)
+    S, p_out = schur_sparse(A, perm[npiv:], A.n - npiv, fact_view,
+                            -1, None, None, eliminator=eng.elim)
+    assert S.n == A.n - npiv
+    if S.nnz:
+        assert np.all(eng.U.qinv[S.indices[:S.nnz]] < 0)
+    # rank is preserved: rank(A) == npiv + rank(S)
+    from spasm_tpu.dense.elim import dense_rank
+    rA = dense_rank(A.todense(), p)
+    rS = dense_rank(S.todense(), p)
+    assert rA == npiv + rS
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_schur_scalar_device_agree(matrix_dir, name):
+    """The device block eliminator and the scalar GP solver must produce
+    identical Schur complements."""
+    p = 65537
+    A, _ = sio.load_csr(matrix_dir / name, p)
+    if A.nnz == 0:
+        pytest.skip("empty matrix")
+    from spasm_tpu.echelonize import _Engine
+    eng = _Engine(A, EchelonizeOptions())
+    npiv, perm = eng.extract_structural(A, None)
+    U = eng.U.snapshot_csr()
+    fact_view = LU(eng.U.n, U, eng.U.qinv)
+    S1, _ = schur_sparse(A, perm[npiv:], A.n - npiv, fact_view, -1,
+                         None, None, eliminator=eng.elim, use_device=True)
+    S2, _ = schur_sparse(A, perm[npiv:], A.n - npiv, fact_view, -1,
+                         None, None, eliminator=None, use_device=False)
+    assert np.array_equal(S1.todense(), S2.todense())
