@@ -34,16 +34,29 @@ import jax as _jax
 # 32-bit pairs; the hot inner loops use int8/int32 digit arithmetic instead.
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compile cache: the elimination kernels are heavy programs
-# and this host compiles slowly; cache across processes.
-_cache = _os.environ.get("SPASM_TPU_XLA_CACHE",
-                         _os.path.expanduser("~/.cache/spasm_tpu_xla"))
-try:
-    _os.makedirs(_cache, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:                                    # pragma: no cover
-    pass
+def _enable_compile_cache():
+    """Persistent XLA compile cache (CPU backend only).
+
+    The elimination kernels are heavy programs and this host compiles
+    slowly, so caching across processes matters for the test-suite.  On
+    the tunneled TPU platform ("axon") deserialized executables hang at
+    execution time, so the cache must stay off there.
+    """
+    platforms = _jax.config.jax_platforms or _os.environ.get(
+        "JAX_PLATFORMS", "")
+    if "cpu" not in platforms:
+        return
+    cache = _os.environ.get("SPASM_TPU_XLA_CACHE",
+                            _os.path.expanduser("~/.cache/spasm_tpu_xla"))
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:                                # pragma: no cover
+        pass
+
+
+_enable_compile_cache()
 
 __version__ = "0.1.0"
 

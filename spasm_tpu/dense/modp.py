@@ -61,19 +61,31 @@ def device_field(p: int) -> DeviceField:
     return DeviceField(p, d, w)
 
 
-def dnorm(x, p):
-    """Balanced representative of x mod p (device; -> int32).
+def dnorm64(x, p):
+    """Balanced representative of x mod p, staying in int64.
 
+    Exact multiply-based reduction — **no integer division**, which on TPU
+    lowers to enormous code (slow to compile *and* run).  Three rounds of
+    float32-reciprocal Barrett reduce any |x| <= 2^62 to |r| <= p + 1
+    (error recurrence |r'| <= |r|*2^-24 + p), then two conditional
+    corrections land in the balanced range [-(p-1)/2, (p-1)/2].
     p may be a traced int64 scalar or a Python int.
     """
-    r = jnp.mod(x.astype(jnp.int64), p)
-    return jnp.where(r > p // 2, r - p, r).astype(jnp.int32)
+    x = x.astype(jnp.int64)
+    p64 = jnp.asarray(p, jnp.int64)
+    invp = 1.0 / p64.astype(jnp.float32)
+    for _ in range(3):
+        q = jnp.rint(x.astype(jnp.float32) * invp).astype(jnp.int64)
+        x = x - q * p64
+    half = p64 // 2
+    x = jnp.where(x > half, x - p64, x)
+    x = jnp.where(x < -half, x + p64, x)
+    return x
 
 
-def dnorm64(x, p):
-    """Like dnorm but stays in int64 (for accumulator chains)."""
-    r = jnp.mod(x.astype(jnp.int64), p)
-    return jnp.where(r > p // 2, r - p, r)
+def dnorm(x, p):
+    """Balanced representative of x mod p (device; -> int32)."""
+    return dnorm64(x, p).astype(jnp.int32)
 
 
 def mulmod(a, b, p):

@@ -327,7 +327,49 @@ class _Engine:
     def finish_gplu(self, S: CSR, p: np.ndarray, n: int, p_in):
         """Sparse Gilbert-Peierls finisher with leftmost pivoting and
         probabilistic early abort (echelonize_GPLU,
-        spasm_echelonize.c:54-187)."""
+        spasm_echelonize.c:54-187).  Native C++ when available."""
+        from . import native
+        if native.HAVE_NATIVE:
+            return self._finish_gplu_native(S, p, n, p_in)
+        return self._finish_gplu_py(S, p, n, p_in)
+
+    def _finish_gplu_native(self, S: CSR, p: np.ndarray, n: int, p_in,
+                            chunk: int = 8192):
+        want_L = self.L is not None
+        k = 0
+        t0 = time.time()
+        old_un = self.U.n
+        while k < n:
+            rows = np.asarray(p[k:k + chunk], np.int64)
+            row_origin = (np.asarray(p_in, np.int64)[rows]
+                          if p_in is not None else rows)
+            # without L we may stop once no free column remains; with L
+            # every row must be processed (elimination coefficients)
+            max_piv = n if want_L else min(n - k, self.m - self.U.n)
+            if max_piv <= 0 and not want_L:
+                break
+            U0 = self.U.snapshot_csr()
+            npiv, urows, (li, lj, lx), piv_origin = native.gplu(
+                S, rows, row_origin, U0, self.U.qinv, self.prime,
+                want_L, max(max_piv, 1))
+            stage = []
+            for cols, vals in urows:
+                self.U.rows.append((cols, vals))
+                self.U.pivcol.append(int(cols[0]))
+                stage.append((cols.astype(np.int64), vals, int(cols[0])))
+            self.elim.append_rows(stage, flush=False)
+            if want_L and li.size:
+                self.L.add_batch(li, lj, lx)
+            self.Lp.extend(int(v) for v in piv_origin)
+            k += chunk
+            if k < n and npiv == 0 and not want_L:
+                if self.test_completion(S, p[k:], n - k):
+                    log.info("[GPLU] early abort: completion test passed")
+                    break
+        log.info("[GPLU] done in %.1fs, %d new pivots",
+                 time.time() - t0, self.U.n - old_un)
+
+    def _finish_gplu_py(self, S: CSR, p: np.ndarray, n: int, p_in):
         opts = self.opts
         m = self.m
         r_ub = min(S.n, m)

@@ -27,19 +27,17 @@ def kernel(fact: LU) -> CSR:
     Utqinv = np.full(n, -1, dtype=np.int64)
     cols_piv = np.nonzero(qinv >= 0)[0]
     Utqinv[qinv[cols_piv]] = cols_piv
+    free_cols = np.nonzero(qinv < 0)[0]
+    from .schur import solve_rows
+    solved = solve_rows(Ut, Ut, free_cols, Utqinv, U.prime)
     rows = []
-    x = np.zeros(m, dtype=np.int64)
-    for j in range(m):
-        if qinv[j] >= 0:
-            continue
-        pattern, x = sparse_triangular_solve(Ut, Ut, j, Utqinv, x)
-        live = pattern[x[pattern] != 0]
-        live = live[Utqinv[live] >= 0]
-        cols = np.concatenate(([j], Utqinv[live]))
-        vals = np.concatenate(([-1], x[live]))
-        order = np.argsort(cols)
-        rows.append((cols[order].astype(np.int32),
-                     vals[order].astype(np.int32)))
+    for j, (cols, vals) in zip(free_cols, solved):
+        keep = Utqinv[cols] >= 0
+        kcols = np.concatenate(([j], Utqinv[cols[keep]]))
+        kvals = np.concatenate(([-1], vals[keep]))
+        order = np.argsort(kcols)
+        rows.append((kcols[order].astype(np.int32),
+                     kvals[order].astype(np.int32)))
     return CSR.from_rows(m - n, m, U.prime, rows)
 
 

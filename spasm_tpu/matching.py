@@ -17,6 +17,9 @@ def maximum_matching(A: CSR) -> Tuple[int, np.ndarray, np.ndarray]:
     """Returns (size, jmatch, imatch): jmatch[i] = column matched to row i
     (or -1), imatch[j] = row matched to column j (or -1).
     (spasm_maximum_matching, spasm_matching.c:103-137)"""
+    from . import native
+    if native.HAVE_NATIVE and A.n and A.m:
+        return native.matching(A)
     n, m = A.n, A.m
     indptr, indices = A.indptr, A.indices
     jmatch = np.full(n, -1, dtype=np.int64)

@@ -87,6 +87,14 @@ def find_cycle_free_pivots(A: CSR, pinv: np.ndarray,
     through existing pivots; a surviving (unreachable, non-pivotal) entry
     becomes a new pivot.
     """
+    from . import native
+    if native.HAVE_NATIVE:
+        return native.cycle_free_pivots(A, pinv, qinv)
+    return _find_cycle_free_pivots_py(A, pinv, qinv)
+
+
+def _find_cycle_free_pivots_py(A: CSR, pinv: np.ndarray,
+                               qinv: np.ndarray) -> int:
     m = A.m
     indptr, indices = A.indptr, A.indices
     state = np.zeros(m, dtype=np.int8)   # 0 clean, 1 survivor, -1 reached

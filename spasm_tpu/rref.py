@@ -27,13 +27,21 @@ def rref(fact: LU) -> Tuple[CSR, np.ndarray]:
     rows = []
     x = np.zeros(m, dtype=np.int64)
     qinv_local = np.asarray(qinv, np.int64).copy()
+    from . import native
     for i in range(n):
         cols_i, _ = U.row(i)
         pivot = int(cols_i[0])
         assert qinv_local[pivot] == i
         qinv_local[pivot] = -1        # mask own pivot during the solve
-        pattern, x = sparse_triangular_solve(U, U, i, qinv_local, x)
-        live = pattern[(qinv_local[pattern] < 0) & (x[pattern] != 0)]
+        if native.HAVE_NATIVE:
+            (cols, vals), = native.solve_batch(U, U, [i], qinv_local,
+                                               U.prime)
+            keep = (qinv_local[cols] < 0)
+            live = cols[keep].astype(np.int64)
+            x[live] = vals[keep]
+        else:
+            pattern, x = sparse_triangular_solve(U, U, i, qinv_local, x)
+            live = pattern[(qinv_local[pattern] < 0) & (x[pattern] != 0)]
         # pivot-first property
         live = np.concatenate(([pivot], np.sort(live[live != pivot])))
         rows.append((live.astype(np.int32), x[live].astype(np.int32)))

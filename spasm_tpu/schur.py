@@ -22,6 +22,24 @@ from .hashing import PRNG
 from .spmv import scatter
 
 
+def solve_rows(U: CSR, B: CSR, rows, qinv: np.ndarray, prime: int):
+    """Batch of x*U = B[row] solves -> [(cols, vals)] (column-sorted,
+    coefficients on pivotal columns, residue elsewhere).  Native C++
+    (parallel) when available, scalar Python otherwise."""
+    from . import native
+    rows = np.asarray(rows, np.int64)
+    if native.HAVE_NATIVE and len(rows):
+        return native.solve_batch(U, B, rows, np.asarray(qinv, np.int64),
+                                  prime)
+    out = []
+    x = np.zeros(U.m, dtype=np.int64)
+    for r in rows:
+        pattern, x = sparse_triangular_solve(U, B, int(r), qinv, x)
+        live = np.sort(pattern[x[pattern] != 0])
+        out.append((live.astype(np.int32), x[live].astype(np.int32)))
+    return out
+
+
 def estimate_density(A: CSR, p: np.ndarray, n: int, U: CSR,
                      qinv: np.ndarray, R: int = 100,
                      seed: int = 1) -> float:
@@ -30,13 +48,10 @@ def estimate_density(A: CSR, p: np.ndarray, n: int, U: CSR,
     if n == 0 or A.m == U.n:
         return 0.0
     rng = np.random.default_rng(seed)
+    sample = p[rng.integers(n, size=R)]
     nnz = 0
-    x = np.zeros(A.m, dtype=np.int64)
-    for _ in range(R):
-        inew = int(p[rng.integers(n)])
-        pattern, x = sparse_triangular_solve(U, A, inew, qinv, x)
-        live = pattern[(qinv[pattern] < 0) & (x[pattern] != 0)]
-        nnz += live.size
+    for cols, _ in solve_rows(U, A, sample, qinv, A.prime):
+        nnz += int(np.count_nonzero(qinv[cols] < 0))
     return nnz / (A.m - U.n) / R
 
 
@@ -93,20 +108,16 @@ def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
                     L.add_batch(np.full(coeffs.size, iorig, np.int64),
                                 qinv[coeffs], X[k, coeffs])
     else:
-        x = np.zeros(m, dtype=np.int64)
-        for k in range(n):
+        solved = solve_rows(U, A, p[:n], qinv, A.prime)
+        for k, (cols, vals) in enumerate(solved):
             inew = int(p[k])
-            pattern, x = sparse_triangular_solve(U, A, inew, qinv, x)
             iorig = int(p_in[inew]) if p_in is not None else inew
             p_out[k] = iorig
-            live = pattern[x[pattern] != 0]
-            on_piv = live[qinv[live] >= 0]
-            off_piv = np.sort(live[qinv[live] < 0])
-            rows_out.append((off_piv.astype(np.int32),
-                             x[off_piv].astype(np.int32)))
-            if L is not None and on_piv.size:
-                L.add_batch(np.full(on_piv.size, iorig, np.int64),
-                            qinv[on_piv], x[on_piv])
+            piv = qinv[cols] >= 0
+            rows_out.append((cols[~piv], vals[~piv]))
+            if L is not None and np.any(piv):
+                L.add_batch(np.full(int(piv.sum()), iorig, np.int64),
+                            qinv[cols[piv]], vals[piv])
 
     S = CSR.from_rows(n, m, A.prime, rows_out)
     return S, p_out
@@ -127,16 +138,22 @@ def schur_dense_block(A: CSR, rows: np.ndarray, p_in: Optional[np.ndarray],
     """
     m = A.m
     q = np.nonzero(qinv < 0)[0]
-    X = _block_rows_dense(A, rows)
     has_pivots = bool(np.any(qinv >= 0))
     if has_pivots and eliminator is not None and eliminator.nrows > 0 \
             and (U_csr is None or len(rows) * m >= _DEVICE_THRESHOLD):
+        X = _block_rows_dense(A, rows)
         X = eliminator.eliminate(X)
     elif has_pivots:
         if U_csr is None:
             raise ValueError("schur_dense_block requires an eliminator or "
                              "a U snapshot when U is nonempty")
-        X = _eliminate_scalar(X, U_csr, qinv)
+        # host path: batched (parallel) sparse triangular solves
+        X = np.zeros((len(rows), m), dtype=np.int32)
+        for k, (cols, vals) in enumerate(
+                solve_rows(U_csr, A, rows, qinv, A.prime)):
+            X[k, cols] = vals
+    else:
+        X = _block_rows_dense(A, rows)
     p_out = np.asarray([int(p_in[i]) if p_in is not None else int(i)
                         for i in rows], dtype=np.int64)
     if L is not None:
@@ -186,7 +203,16 @@ def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
             and N * m >= _DEVICE_THRESHOLD:
         Xi = eliminator.eliminate(Xi)
     elif U.n:
-        Xi = _eliminate_scalar(Xi, U, qinv)
+        from . import native
+        if native.HAVE_NATIVE:
+            B = CSR.from_dense(Xi, prime)
+            out = np.zeros_like(Xi)
+            for k, (cols, vals) in enumerate(
+                    solve_rows(U, B, np.arange(N), qinv, prime)):
+                out[k, cols] = vals
+            Xi = out
+        else:
+            Xi = _eliminate_scalar(Xi, U, qinv)
     return Xi[:, q], q
 
 
