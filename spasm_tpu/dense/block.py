@@ -78,6 +78,32 @@ def _apply_chunk(X, cols, jpos, V, p, weights, d: int):
     return X.at[:, cols].set(Xc)
 
 
+@functools.partial(jax.jit, static_argnames=("d",))
+def _apply_chunk_run(X, cols, jpos, V, p, weights, d: int):
+    """Apply a run of same-bucket chunks sequentially in ONE dispatch.
+
+    cols: (nc, Cp), jpos: (nc, Kp), V: (nc, Kp, Cp).  A chunk whose
+    coefficient block is all zero is skipped (lax.cond), which makes
+    re-elimination against already-cleared history chunks nearly free.
+    """
+    def body(X, ch):
+        c, j, v = ch
+        Xc = X[:, c]
+        F = Xc[:, j]
+
+        def live(X):
+            delta = matmul_digits(F, v, p, weights, d)
+            Xc2 = dnorm(Xc.astype(jnp.int64) - delta.astype(jnp.int64), p)
+            Xc2 = Xc2.at[:, j].set(F)
+            return X.at[:, c].set(Xc2)
+
+        X = jax.lax.cond(jnp.any(F != 0), live, lambda X: X, X)
+        return X, None
+
+    X, _ = jax.lax.scan(body, X, (cols, jpos, V))
+    return X
+
+
 def _pad_to(x: np.ndarray, size: int, fill=0) -> np.ndarray:
     if x.shape[-1] == size:
         return x
@@ -192,7 +218,25 @@ class UEliminator:
         Xd = jnp.asarray(Xp)
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        for ch in self.chunks:
-            Xd = _apply_chunk(Xd, jnp.asarray(ch.cols), jnp.asarray(ch.jpos),
-                              ch.V, p64, w, self.F.ndigits)
+        # fuse consecutive same-bucket chunks into single scan dispatches
+        k = 0
+        nchunks = len(self.chunks)
+        while k < nchunks:
+            shape = self.chunks[k].V.shape
+            k2 = k
+            while k2 < nchunks and self.chunks[k2].V.shape == shape:
+                k2 += 1
+            run = self.chunks[k:k2]
+            if len(run) == 1:
+                ch = run[0]
+                Xd = _apply_chunk(Xd, jnp.asarray(ch.cols),
+                                  jnp.asarray(ch.jpos), ch.V, p64, w,
+                                  self.F.ndigits)
+            else:
+                cols = jnp.asarray(np.stack([c.cols for c in run]))
+                jpos = jnp.asarray(np.stack([c.jpos for c in run]))
+                V = jnp.stack([c.V for c in run])
+                Xd = _apply_chunk_run(Xd, cols, jpos, V, p64, w,
+                                      self.F.ndigits)
+            k = k2
         return np.asarray(Xd)[:B, :self.m]

@@ -55,7 +55,7 @@ class _PanelOut(NamedTuple):
     is_piv: jnp.ndarray   # (n,)   updated pivot-row mask
 
 
-def _panel_sweep(P, is_piv, p, rref: bool) -> _PanelOut:
+def _panel_sweep(P, is_piv, p, rref: bool, rounds: int = 2) -> _PanelOut:
     n, nb = P.shape
 
     def step(t, carry):
@@ -66,7 +66,7 @@ def _panel_sweep(P, is_piv, p, rref: bool) -> _PanelOut:
         r = jnp.argmax(avail)
         pivval = col[r].astype(jnp.int64)
         c = modinv(pivval, p)
-        u = dnorm(P[r, :].astype(jnp.int64) * c, p)
+        u = dnorm(P[r, :].astype(jnp.int64) * c, p, rounds)
         u = jnp.where(has, u, 0)
         if rref:
             g = jnp.where(has, col, 0)
@@ -78,7 +78,7 @@ def _panel_sweep(P, is_piv, p, rref: bool) -> _PanelOut:
             g = jnp.where(mask, col, 0)
         P = dnorm(P.astype(jnp.int64)
                   - g[:, None].astype(jnp.int64) * u[None, :].astype(jnp.int64),
-                  p)
+                  p, rounds)
         G = G.at[:, t].set(g)
         C = C.at[t].set(jnp.where(has, c, 1).astype(jnp.int64))
         lrows = lrows.at[t].set(jnp.where(has, r, -1).astype(jnp.int32))
@@ -117,8 +117,9 @@ def _unit_lower_inverse(T, p):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d", "rref", "nb"))
-def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB):
+                   static_argnames=("d", "rref", "nb", "sweep_small"))
+def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB,
+               sweep_small: bool = False):
     """Full blocked elimination.  S: (n, m) int32 balanced, m % nb == 0.
 
     Returns (S_final, pivrow_of_col (m,), is_piv (n,), L (n, m) or (n,1)).
@@ -129,11 +130,16 @@ def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB):
     npanels = m // nb
     want_l = not rref
 
+    # One Barrett round handles |x| <= p * 2^22; sweep inputs are bounded
+    # by (p/2)^2 + p/2 = p*(p/4 + 1/2), so rounds=1 is exact for
+    # p <= 2^24 (sweep_small static flag threaded from the host wrapper).
+    rounds = 1 if sweep_small else 2
+
     def panel(q, carry):
         S, pivrow_of_col, is_piv, L = carry
         j0 = q * nb
         P = jax.lax.dynamic_slice(S, (0, j0), (n, nb))
-        out = _panel_sweep(P, is_piv, p, rref)
+        out = _panel_sweep(P, is_piv, p, rref, rounds)
         S = jax.lax.dynamic_update_slice(S, out.P, (0, j0))
 
         lrows_safe = jnp.where(out.lhas, out.lrows, 0)
@@ -204,7 +210,8 @@ def _run(S: np.ndarray, p: int, rref: bool, nb: int):
     F = device_field(p)
     Sp = _pad(np.ascontiguousarray(S, np.int32), nb)
     return _eliminate(jnp.asarray(Sp), jnp.int64(p),
-                      jnp.asarray(F.weights), F.ndigits, rref, nb)
+                      jnp.asarray(F.weights), F.ndigits, rref, nb,
+                      p <= (1 << 24))
 
 
 # Below this many elements a numpy sweep beats device dispatch + compile.

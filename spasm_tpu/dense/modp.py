@@ -61,20 +61,26 @@ def device_field(p: int) -> DeviceField:
     return DeviceField(p, d, w)
 
 
-def dnorm64(x, p):
+def dnorm64(x, p, rounds: int = 2):
     """Balanced representative of x mod p, staying in int64.
 
     Exact multiply-based reduction — **no integer division**, which on TPU
-    lowers to enormous code (slow to compile *and* run).  Three rounds of
-    float32-reciprocal Barrett reduce any |x| <= 2^62 to |r| <= p + 1
-    (error recurrence |r'| <= |r|*2^-24 + p), then two conditional
-    corrections land in the balanced range [-(p-1)/2, (p-1)/2].
+    lowers to enormous code (slow to compile *and* run).  `rounds` passes
+    of float32-reciprocal Barrett (error recurrence
+    |r'| <= |r|*2^-23 + 0.51p) followed by two conditional corrections.
+
+    Exactness bounds (corrections cover |r| <= p + p//2):
+      rounds=2: any |x| <= p * 2^30 — every call site in this package
+                (products of balanced operands are <= (p/2)^2 <= p*2^30;
+                digit-matmul partials are <= 2^31 * p/2).
+      rounds=1: |x| <= p * 2^22 — products of balanced operands when
+                p <= 16255 (digit tier d == 2).
     p may be a traced int64 scalar or a Python int.
     """
     x = x.astype(jnp.int64)
     p64 = jnp.asarray(p, jnp.int64)
     invp = 1.0 / p64.astype(jnp.float32)
-    for _ in range(3):
+    for _ in range(rounds):
         q = jnp.rint(x.astype(jnp.float32) * invp).astype(jnp.int64)
         x = x - q * p64
     half = p64 // 2
@@ -83,14 +89,14 @@ def dnorm64(x, p):
     return x
 
 
-def dnorm(x, p):
+def dnorm(x, p, rounds: int = 2):
     """Balanced representative of x mod p (device; -> int32)."""
-    return dnorm64(x, p).astype(jnp.int32)
+    return dnorm64(x, p, rounds).astype(jnp.int32)
 
 
-def mulmod(a, b, p):
+def mulmod(a, b, p, rounds: int = 2):
     """Balanced product of balanced operands; exact for p <= 2^32-5."""
-    return dnorm64(a.astype(jnp.int64) * b.astype(jnp.int64), p)
+    return dnorm64(a.astype(jnp.int64) * b.astype(jnp.int64), p, rounds)
 
 
 def modinv(a, p):

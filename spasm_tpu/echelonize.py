@@ -200,10 +200,15 @@ class _Engine:
                           q: np.ndarray):
         """Push dense RREF rows (columns compacted by q) into U.
         (reference: update_U_after_rref, spasm_echelonize.c:192-223)"""
+        nz_r, nz_c = np.nonzero(R)
+        counts = np.bincount(nz_r, minlength=R.shape[0])
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        vals_flat = R[nz_r, nz_c]
+        cols_flat = q[nz_c]
         for k in range(len(pivcols)):
-            nz = np.nonzero(R[k])[0]
-            cols = q[nz]
-            self._push_u_row(int(q[pivcols[k]]), cols, R[k][nz])
+            sl = slice(offs[k], offs[k + 1])
+            self._push_u_row(int(q[pivcols[k]]), cols_flat[sl],
+                             vals_flat[sl])
         self.elim.flush()
 
     def update_after_lu(self, rank: int, prows, pivcols, Ld, Urows,
