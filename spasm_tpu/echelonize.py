@@ -178,19 +178,33 @@ class _Engine:
         npiv, p, pinv, qinv_loc = find_structural_pivots(
             S, self.opts.enable_greedy_pivot_search)
         F = self.field
-        for k in range(npiv):
-            i = int(p[k])
-            j = int(pinv[i])
-            cols, vals = S.row(i)
-            sel = np.nonzero(cols == j)[0]
-            pivot = int(vals[sel[0]])
-            iorig = int(p_in[i]) if p_in is not None else i
+        if npiv:
+            # vectorized row extraction + batch normalization
+            from .csr import _concat_ranges
+            rows = p[:npiv]
+            starts = S.indptr[rows]
+            lens = (S.indptr[rows + 1] - starts).astype(np.int64)
+            gather = _concat_ranges(starts, lens)
+            cols_flat = S.indices[gather].astype(np.int64)
+            vals_flat = S.data[gather].astype(np.int64)
+            rowrep = np.repeat(np.arange(npiv), lens)
+            pivcols = pinv[rows]
+            on_piv = cols_flat == pivcols[rowrep]
+            pv = np.zeros(npiv, np.int64)
+            pv[rowrep[on_piv]] = vals_flat[on_piv]
+            alpha = F.inverse_array(pv).astype(np.int64)
+            scaled = F.narray(vals_flat * alpha[rowrep])
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            iorigs = (np.asarray(p_in, np.int64)[rows]
+                      if p_in is not None else rows)
             if self.L is not None:
-                self.L.add(iorig, self.U.n, pivot)
-            self.Lp.append(iorig)
-            alpha = F.inverse(pivot)
-            self._push_u_row(j, cols, F.mul(np.int64(alpha),
-                                            vals.astype(np.int64)))
+                self.L.add_batch(iorigs,
+                                 self.U.n + np.arange(npiv), pv)
+            self.Lp.extend(int(v) for v in iorigs)
+            for k in range(npiv):
+                sl = slice(offs[k], offs[k + 1])
+                self._push_u_row(int(pivcols[k]), cols_flat[sl],
+                                 scaled[sl])
         self.elim.flush()
         log.info("[pivots] %d structural pivots found [%.2fs]",
                  npiv, time.time() - t0)

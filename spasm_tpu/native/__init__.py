@@ -86,6 +86,12 @@ def _load():
     lib.spasm_matching.restype = ctypes.c_int64
     lib.spasm_matching.argtypes = [I64, I32, ctypes.c_int32,
                                    ctypes.c_int32, I64, I64]
+    lib.spasm_fl_column_pivots.restype = ctypes.c_int64
+    lib.spasm_fl_column_pivots.argtypes = [
+        I64, I32, ctypes.c_int32, ctypes.c_int32, I64, I64]
+    lib.spasm_topo_order.restype = ctypes.c_int64
+    lib.spasm_topo_order.argtypes = [
+        I64, I32, ctypes.c_int32, ctypes.c_int32, I64, I64, I64]
     _lib = lib
     HAVE_NATIVE = True
 
@@ -182,6 +188,21 @@ def gplu(S, rows, row_origin, U0, qinv: np.ndarray, prime: int,
         off += ln
     return (npiv, urows, (l_i[:lnnz], l_j[:lnnz], l_x[:lnnz]),
             piv_origin[:nu])
+
+
+def fl_column_pivots(A, pinv: np.ndarray, qinv: np.ndarray) -> int:
+    return int(_lib.spasm_fl_column_pivots(
+        _p64(_arr64(A.indptr)), _p32(_arr32(A.indices)), A.n, A.m,
+        _p64(pinv), _p64(qinv)))
+
+
+def topo_order(A, pinv: np.ndarray, qinv: np.ndarray) -> np.ndarray:
+    p = np.empty(A.n, np.int64)
+    _lib.spasm_topo_order(
+        _p64(_arr64(A.indptr)), _p32(_arr32(A.indices)), A.n, A.m,
+        _p64(_arr64(pinv)), _p64(_arr64(qinv)),
+        _p64(p if A.n else _EMPTY64))
+    return p
 
 
 def matching(A) -> Tuple[int, np.ndarray, np.ndarray]:

@@ -455,6 +455,90 @@ i64 spasm_matching(const i64 *Ap, const i32 *Aj, i32 n, i32 m,
     return size;
 }
 
-i32 spasm_native_version() { return 1; }
+// Faugere-Lachartre-on-columns pass: a non-pivotal row with an entry on
+// a column absent from every pivotal row becomes pivotal there.
+// Sequential-greedy (order-dependent, matches the Python reference).
+i64 spasm_fl_column_pivots(const i64 *Ap, const i32 *Aj, i32 n, i32 m,
+                           i64 *pinv, i64 *qinv) {
+    std::vector<uint8_t> open_col(m, 1);
+    for (i32 i = 0; i < n; ++i) {
+        if (pinv[i] < 0) continue;
+        for (i64 t = Ap[i]; t < Ap[i + 1]; ++t) open_col[Aj[t]] = 0;
+    }
+    i64 npiv = 0;
+    for (i32 i = 0; i < n; ++i) {
+        if (pinv[i] >= 0) continue;
+        const i64 lo = Ap[i], hi = Ap[i + 1];
+        for (i64 t = lo; t < hi; ++t) {
+            i32 j = Aj[t];
+            if (!open_col[j] || qinv[j] >= 0) continue;
+            pinv[i] = j;
+            qinv[j] = i;
+            ++npiv;
+            for (i64 u = lo; u < hi; ++u) open_col[Aj[u]] = 0;
+            break;
+        }
+    }
+    return npiv;
+}
+
+// Topological ordering of pivotal rows (DFS over the alternating-path
+// digraph: pivotal column j -> row qinv[j] -> its columns).
+// Writes the permutation p: pivotal rows first in topo order, then the
+// remaining rows in index order.  Returns the number of pivotal rows.
+i64 spasm_topo_order(const i64 *Ap, const i32 *Aj, i32 n, i32 m,
+                     const i64 *pinv, const i64 *qinv, i64 *p) {
+    std::vector<uint8_t> seen(m, 0);
+    std::vector<i32> stack(m), pos(m);
+    std::vector<i32> post;
+    post.reserve(m);
+    for (i32 root = 0; root < m; ++root) {
+        if (qinv[root] < 0 || seen[root]) continue;
+        int head = 0;
+        stack[0] = root;
+        pos[0] = 0;
+        seen[root] = 1;
+        while (head >= 0) {
+            i32 j = stack[head];
+            i64 r = qinv[j];
+            if (r < 0) {
+                post.push_back(j);
+                --head;
+                continue;
+            }
+            const i64 lo = Ap[r], hi = Ap[r + 1];
+            i64 px = lo + pos[head];
+            bool descended = false;
+            while (px < hi) {
+                i32 jj = Aj[px];
+                ++px;
+                if (!seen[jj]) {
+                    pos[head] = (i32)(px - lo);
+                    ++head;
+                    stack[head] = jj;
+                    pos[head] = 0;
+                    seen[jj] = 1;
+                    descended = true;
+                    break;
+                }
+            }
+            if (!descended) {
+                post.push_back(j);
+                --head;
+            }
+        }
+    }
+    i64 k = 0;
+    for (auto it = post.rbegin(); it != post.rend(); ++it) {
+        i64 r = qinv[*it];
+        if (r >= 0) p[k++] = r;
+    }
+    const i64 npiv = k;
+    for (i32 i = 0; i < n; ++i)
+        if (pinv[i] < 0) p[k++] = i;
+    return npiv;
+}
+
+i32 spasm_native_version() { return 2; }
 
 }  // extern "C"

@@ -58,6 +58,9 @@ def find_fl_column_pivots(A: CSR, pinv: np.ndarray, qinv: np.ndarray) -> int:
 
     w[j] == True while column j does not appear on any pivotal row.
     """
+    from . import native
+    if native.HAVE_NATIVE:
+        return native.fl_column_pivots(A, pinv, qinv)
     m = A.m
     open_col = np.ones(m, dtype=bool)
     rows = A.row_ids()
@@ -146,6 +149,10 @@ def topo_order_pivots(A: CSR, pinv: np.ndarray, qinv: np.ndarray,
     The DFS runs on the alternating-path digraph: pivotal column j ->
     row qinv[j] -> that row's columns.
     """
+    from . import native
+    if native.HAVE_NATIVE:
+        p = native.topo_order(A, pinv, qinv)
+        return p
     n, m = A.n, A.m
     indptr, indices = A.indptr, A.indices
     marks = np.zeros(m, dtype=bool)

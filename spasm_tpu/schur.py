@@ -86,7 +86,10 @@ def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
     lrows: List[np.ndarray] = []
 
     if use_device == "auto":
-        use_device = n * m >= _DEVICE_THRESHOLD
+        # dense row blocks only pay off when the accumulator width is
+        # moderate: for very wide sparse matrices the B x m densification
+        # and transfers dominate and the batched native solver wins
+        use_device = n * m >= _DEVICE_THRESHOLD and m <= (1 << 16)
     if use_device and eliminator is not None and eliminator.nrows > 0:
         for b0 in range(0, n, block_size):
             idx = p[b0:b0 + block_size].astype(np.int64)
