@@ -15,6 +15,8 @@ from tests.conftest import ALL_MODULI
 def np_rank(S, p):
     """Plain exact Gaussian elimination rank (reference oracle)."""
     A = np.asarray(S, np.int64) % p
+    if (p - 1) ** 2 >= 2 ** 63:   # np.outer below would overflow int64
+        A = A.astype(object)
     n, m = A.shape
     r = 0
     for j in range(m):
