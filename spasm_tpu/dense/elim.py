@@ -4,31 +4,36 @@ Replaces the reference's FFPACK bridge (spasm_ffpack.cpp:22-75,
 FFPACK::pReducedRowEchelonForm / FFPACK::pPLUQ) with a TPU-native design:
 
   * columns are processed left-to-right in panels of NB;
-  * inside a panel, an unblocked sweep (lax.fori_loop) performs exact
-    sequential column-pivoted elimination on the (n, NB) panel only,
-    recording for each local step k the factor column g_k, the pivot row
-    r_k and the pivot inverse c_k;
-  * the effect of the whole panel on the trailing columns is *composed*:
-    with M[k,l] = g_l[r_k] (strictly lower) and T = I + diag(c) @ M,
-    the normalized pivot rows are  U = T^-1 @ (c * S[r, :])  and the
-    trailing update is one MXU matmul   S -= G @ U   (mod p).
+  * a *division-free discovery sweep* (lax.fori_loop over the (n, NB)
+    panel only) finds the pivot (row, column) pairs.  Cross-multiplication
+    updates  P <- v*P - col*P[r]  preserve zero patterns exactly, so the
+    pivot choices match classical column-pivoted elimination while needing
+    no modular inverses inside the sequential loop;
+  * the panel's pivot minor  W = S[R, J]  (rows R, columns J of the
+    pre-panel matrix) is inverted by a division-free Gauss-Jordan with
+    diagonal pivoting — valid because W's leading minors are exactly the
+    pivot minors, all nonsingular — followed by ONE batched Fermat
+    inversion of the accumulated diagonal scales;
+  * the whole panel update is then two MXU matmuls:
+        U = W^-1 @ S[R, :]                (the reduced pivot rows)
+        S <- S - G @ U,   G = S[:, J] - I_at_pivot_slots
+    The -I trick makes pivot rows land exactly on their reduced rows
+    (row r_t receives  S[r_t] - (W[t,:]-e_t) W^-1 S[R,:] = U[t]).
 
   Rank deficiency is handled by masking: a column with no available
-  nonzero contributes a zero factor/row slot, which is algebraically a
-  no-op.  This keeps every shape static for XLA while the reference's
-  FFPACK performs data-dependent row/column rotations.
+  nonzero contributes an identity row/column to W and a zero slot in
+  G/U, which is algebraically a no-op.  This keeps every shape static
+  for XLA while the reference's FFPACK performs data-dependent row and
+  column rotations.
 
-  RREF mode eliminates every row (the final matrix rows at the pivot rows
-  are the fully reduced echelon rows); LU mode eliminates only
-  not-yet-pivotal rows and records multipliers L (A_block == L @ U).
-
-The uniform-update trick: a sequential RREF step is
-    S <- S - outer(g, u)   with   g = S[:, j],  g[r] -= 1  (u has pivot 1)
-which zeroes column j everywhere and leaves the normalized row u at row r
-in a single rank-1 update — no row swap, no scatter.
+  RREF mode eliminates every row; LU mode eliminates only not-yet-pivotal
+  rows, computes the forward (unit-lower) factorization of W instead of
+  the full inverse, and records multipliers L (A_block == L @ U).
 
 The prime is a runtime scalar (one compiled kernel per shape bucket and
-digit tier, not per prime).
+digit tier, not per prime).  For the d == 2 digit tier (p <= 65279)
+every elementwise step runs in pure int32 + float32-Barrett; int64
+lanes (emulated on TPU) are used only for larger primes.
 """
 from __future__ import annotations
 
@@ -40,86 +45,220 @@ import jax.numpy as jnp
 import numpy as np
 
 from .modp import (dnorm, dnorm64, modinv, matmul_digits, device_field,
-                   mulmod)
+                   mulmod, _reduce31)
 
 _NB = 64          # panel width (local sweep length)
 
 
-class _PanelOut(NamedTuple):
-    P: jnp.ndarray        # (n, NB) eliminated panel
-    G: jnp.ndarray        # (n, NB) factor columns (uniform-update g's)
-    C: jnp.ndarray        # (NB,)  pivot inverses (1 on empty slots)
+def _mulsub(v, P, g, piv, p, small: bool, rounds: int):
+    """Balanced v*P - g*piv (outer product form), elementwise exact.
+
+    small (p <= 65279): |v*P - g*piv| <= 2*(p/2)^2 < 2^31, pure int32.
+    otherwise: int64 products < 2^62, Barrett rounds as given.
+    """
+    if small:
+        x = v.astype(jnp.int32) * P - g * piv
+        return _reduce31(x, p)
+    x = (v.astype(jnp.int64) * P.astype(jnp.int64)
+         - g.astype(jnp.int64) * piv.astype(jnp.int64))
+    return dnorm(x, p, rounds)
+
+
+def _submod(A, B, p, small: bool):
+    """Balanced A - B; |A - B| <= p needs one conditional correction."""
+    if small:
+        x = A - B
+        p32 = jnp.asarray(p, jnp.int32)
+        half = (p32 - 1) >> 1
+        x = jnp.where(x > half, x - p32, x)
+        return jnp.where(x < -half, x + p32, x)
+    x = A.astype(jnp.int64) - B.astype(jnp.int64)
+    p64 = jnp.asarray(p, jnp.int64)
+    half = p64 >> 1
+    x = jnp.where(x > half, x - p64, x)
+    return jnp.where(x < -half, x + p64, x).astype(jnp.int32)
+
+
+def _scale_rows(c, M, p, small: bool, rounds: int):
+    """Balanced diag(c) @ M."""
+    if small:
+        return _reduce31(c[:, None].astype(jnp.int32) * M, p)
+    return dnorm(c[:, None].astype(jnp.int64) * M.astype(jnp.int64),
+                 p, rounds)
+
+
+class _Pivots(NamedTuple):
     lrows: jnp.ndarray    # (NB,)  pivot row per slot (-1 if none)
     lhas: jnp.ndarray     # (NB,)  slot validity
-    pivvals: jnp.ndarray  # (NB,)  pivot values (0 on empty slots)
     is_piv: jnp.ndarray   # (n,)   updated pivot-row mask
 
 
-def _panel_sweep(P, is_piv, p, rref: bool, rounds: int = 2) -> _PanelOut:
+def _discovery_sweep(P, is_piv, p, small: bool, rounds: int) -> _Pivots:
+    """Division-free pivot discovery on a panel (positions only).
+
+    Updates scale rows by the running pivot value, which preserves zero
+    patterns exactly, so the (row, column) pivot choices equal those of
+    the classical normalized sweep — at ~10 cheap ops per sequential
+    step instead of a Fermat inversion.
+    """
     n, nb = P.shape
+    iota = jnp.arange(n)
 
     def step(t, carry):
-        P, G, C, lrows, lhas, pvals, is_piv = carry
+        P, is_piv, lrows, lhas = carry
         col = P[:, t]
         avail = jnp.logical_and(~is_piv, col != 0)
         has = jnp.any(avail)
         r = jnp.argmax(avail)
-        pivval = col[r].astype(jnp.int64)
-        c = modinv(pivval, p)
-        u = dnorm(P[r, :].astype(jnp.int64) * c, p, rounds)
-        u = jnp.where(has, u, 0)
-        if rref:
-            g = jnp.where(has, col, 0)
-            g = g.at[r].set(jnp.where(has, (pivval - 1).astype(jnp.int32),
-                                      g[r]))
-        else:
-            # LU: eliminate only available rows, and not the pivot row
-            mask = jnp.logical_and(avail, jnp.arange(n) != r)
-            g = jnp.where(mask, col, 0)
-        P = dnorm(P.astype(jnp.int64)
-                  - g[:, None].astype(jnp.int64) * u[None, :].astype(jnp.int64),
-                  p, rounds)
-        G = G.at[:, t].set(g)
-        C = C.at[t].set(jnp.where(has, c, 1).astype(jnp.int64))
+        v = jnp.where(has, col[r], 1)
+        g = jnp.where(jnp.logical_and(avail, iota != r), col, 0)
+        P = _mulsub(v, P, g[:, None], P[r, :][None, :], p, small, rounds)
         lrows = lrows.at[t].set(jnp.where(has, r, -1).astype(jnp.int32))
         lhas = lhas.at[t].set(has)
-        pvals = pvals.at[t].set(jnp.where(has, pivval, 0).astype(jnp.int32))
         is_piv = is_piv.at[r].set(is_piv[r] | has)
-        return P, G, C, lrows, lhas, pvals, is_piv
+        return P, is_piv, lrows, lhas
 
-    init = (P,
-            jnp.zeros((n, nb), jnp.int32),
-            jnp.ones((nb,), jnp.int64),
-            jnp.full((nb,), -1, jnp.int32),
-            jnp.zeros((nb,), bool),
-            jnp.zeros((nb,), jnp.int32),
-            is_piv)
-    out = jax.lax.fori_loop(0, nb, step, init)
-    return _PanelOut(*out)
+    init = (P, is_piv, jnp.full((nb,), -1, jnp.int32),
+            jnp.zeros((nb,), bool))
+    _, is_piv, lrows, lhas = jax.lax.fori_loop(0, nb, step, init)
+    return _Pivots(lrows, lhas, is_piv)
 
 
-def _unit_lower_inverse(T, p):
-    """Inverse of a unit lower-triangular (NB, NB) matrix mod p.
+def _jordan_inverse(W, p, small: bool, rounds: int):
+    """W^-1 mod p by division-free Gauss-Jordan with diagonal pivots.
 
-    Products are reduced term-wise before summation: NB terms of
-    magnitude <= p/2 < 2^31 sum safely in int64.
+    Requires every leading principal minor of W nonsingular (true for
+    pivot minors produced by the discovery sweep; empty slots carry
+    embedded identity rows/columns).  One batched Fermat inversion of
+    the accumulated diagonal scales at the end.
     """
-    nb = T.shape[0]
+    nb = W.shape[0]
+    M = jnp.concatenate([W, jnp.eye(nb, dtype=jnp.int32)], axis=1)
 
-    def step(k, Tinv):
-        # Tinv rows >= k are still zero, so T[k] @ Tinv = sum_{l<k} ...
-        terms = mulmod(T[k, :, None], Tinv, p)        # (nb, nb) balanced
+    def step(t, M):
+        v = M[t, t]
+        g = M[:, t].at[t].set(_submod(v, jnp.int32(1), p, small))
+        piv = M[t, :]
+        return _mulsub(v, M, g[:, None], piv[None, :], p, small, rounds)
+
+    M = jax.lax.fori_loop(0, nb, step, M)
+    dvals = M[jnp.arange(nb), jnp.arange(nb)]
+    dinv = dnorm64(modinv(dvals, p), p)          # batched Fermat
+    return _scale_rows(dinv.astype(jnp.int32), M[:, nb:], p, small, rounds)
+
+
+def _forward_factor(W, p, small: bool, rounds: int):
+    """Division-free forward elimination of [W | I] (rows below the
+    diagonal only).  Returns (Zlu, Vup) with
+        Zlu = D^-1 Λ^-1    (so Zlu @ S[R,:] are the unit-pivot LU rows)
+        Vup = D^-1 Ω       (unit upper; W = Λ Ω, D = diag(Ω))
+    """
+    nb = W.shape[0]
+    iota = jnp.arange(nb)
+    M = jnp.concatenate([W, jnp.eye(nb, dtype=jnp.int32)], axis=1)
+
+    def step(t, M):
+        v = M[t, t]
+        below = iota > t
+        g = jnp.where(below, M[:, t], 0)
+        piv = M[t, :]
+        Mnew = _mulsub(v, M, g[:, None], piv[None, :], p, small, rounds)
+        return jnp.where(below[:, None], Mnew, M)
+
+    M = jax.lax.fori_loop(0, nb, step, M)
+    dvals = M[iota, iota]
+    dinv = dnorm64(modinv(dvals, p), p).astype(jnp.int32)
+    Zlu = _scale_rows(dinv, M[:, nb:], p, small, rounds)
+    Vup = _scale_rows(dinv, M[:, :nb], p, small, rounds)
+    return Zlu, Vup
+
+
+def _unit_upper_inverse_small(V, p, small: bool):
+    """Inverse of a unit upper-triangular (NB, NB) matrix mod p."""
+    nb = V.shape[0]
+
+    def step(t, Vinv):
+        i = nb - 1 - t
+        if small:
+            terms = _reduce31(V[i, :, None] * Vinv, p)
+            prod = jnp.sum(terms, axis=0)                 # <= nb * p/2
+            row = _reduce31(-prod, p).at[i].add(1)
+            return Vinv.at[i, :].set(_reduce31(row, p))
+        terms = mulmod(V[i, :, None], Vinv, p)
         prod = jnp.sum(terms, axis=0)
-        row = dnorm(-prod, p).at[k].add(1)
-        return Tinv.at[k, :].set(dnorm(row.astype(jnp.int64), p))
+        row = dnorm(-prod, p).at[i].add(1)
+        return Vinv.at[i, :].set(dnorm(row.astype(jnp.int64), p))
 
-    return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(T))
+    return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(V))
+
+
+def _panel_step(S, j0, is_piv, L, p, weights, d: int, nb: int,
+                rref: bool, small: bool, rounds: int,
+                use_pallas: bool = False):
+    """One full panel update at column offset j0 (traced scalar).
+
+    Returns (S', lrows, lhas, is_piv', L').  In LU mode, L receives the
+    multiplier columns at global columns [j0, j0+nb).
+    """
+    n, m = S.shape
+    P0 = jax.lax.dynamic_slice(S, (0, j0), (n, nb))
+    if use_pallas:
+        from .sweep_pallas import panel_pivots_small_p
+        out = panel_pivots_small_p(
+            P0.T, is_piv.astype(jnp.int32)[None, :],
+            jnp.asarray(p, jnp.int32).reshape(1, 1), nb, rref)
+        lrows, lhas_i, iv2 = out[0][0], out[1][0], out[2][0]
+        piv = _Pivots(lrows, lhas_i == 1, iv2 == 1)
+        Zk = out[3]
+        Vinv_k = out[4] if not rref else None
+    else:
+        piv = _discovery_sweep(P0, is_piv, p, small, rounds)
+    lrows_safe = jnp.where(piv.lhas, piv.lrows, 0)
+    rows0 = jnp.where(piv.lhas[:, None], S[lrows_safe, :], 0)   # (nb, m)
+    if not use_pallas:
+        Wfull = jax.lax.dynamic_slice(rows0, (0, j0), (nb, nb))
+        both = jnp.logical_and(piv.lhas[:, None], piv.lhas[None, :])
+        W = jnp.where(both, Wfull, jnp.eye(nb, dtype=jnp.int32))
+
+    colmask = (jnp.arange(m) >= j0)[None, :]
+    slot = jnp.arange(nb)
+    if rref:
+        Z = Zk if use_pallas else _jordan_inverse(W, p, small, rounds)
+        U = matmul_digits(Z, rows0, p, weights, d)               # (nb, m)
+        U = jnp.where(jnp.logical_and(colmask, piv.lhas[:, None]), U, 0)
+        G = jnp.where(piv.lhas[None, :], P0, 0)
+        G = G.at[lrows_safe, slot].add(
+            jnp.where(piv.lhas, jnp.int32(-1), 0))
+    else:
+        if use_pallas:
+            Zlu, Vinv = Zk, Vinv_k
+        else:
+            Zlu, Vup = _forward_factor(W, p, small, rounds)
+            Vinv = _unit_upper_inverse_small(Vup, p, small)
+        U = matmul_digits(Zlu, rows0, p, weights, d)
+        U = jnp.where(jnp.logical_and(colmask, piv.lhas[:, None]), U, 0)
+        # multipliers for every not-yet-pivotal row (incl. the panel's
+        # own pivot rows: ell[r_t] = (Λ D)[t, :], lower in slot order)
+        Cf = jnp.where(jnp.logical_and(~is_piv[:, None],
+                                       piv.lhas[None, :]), P0, 0)
+        ell = matmul_digits(Cf, Vinv, p, weights, d)             # (n, nb)
+        ell = jnp.where(piv.lhas[None, :], ell, 0)
+        L = jax.lax.dynamic_update_slice(L, ell, (0, j0))
+        # the update coefficients against the *forward-reduced* U are the
+        # multipliers themselves (rows0 = Λ D U, so ell[r_t] - e_t makes
+        # pivot row r_t land exactly on U[t])
+        G = ell.at[lrows_safe, slot].add(
+            jnp.where(piv.lhas, jnp.int32(-1), 0))
+    delta = matmul_digits(G, U, p, weights, d)                   # (n, m)
+    S = _submod(S, delta, p, small)
+    return S, piv.lrows, piv.lhas, piv.is_piv, L
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d", "rref", "nb", "sweep_small"))
+                   static_argnames=("d", "rref", "nb", "sweep_small",
+                                    "use_pallas"))
 def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB,
-               sweep_small: bool = False):
+               sweep_small: bool = False, use_pallas: bool = False):
     """Full blocked elimination.  S: (n, m) int32 balanced, m % nb == 0.
 
     Returns (S_final, pivrow_of_col (m,), is_piv (n,), L (n, m) or (n,1)).
@@ -129,49 +268,22 @@ def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB,
     n, m = S.shape
     npanels = m // nb
     want_l = not rref
-
-    # One Barrett round handles |x| <= p * 2^22; sweep inputs are bounded
-    # by (p/2)^2 + p/2 = p*(p/4 + 1/2), so rounds=1 is exact for
-    # p <= 2^24 (sweep_small static flag threaded from the host wrapper).
+    small = d == 2
+    # Division-free updates are bounded by 2*(p/2)^2 <= p*(p/2); one
+    # Barrett round is exact for |x| <= p * 2^22, i.e. p <= 2^23
+    # (sweep_small is threaded from the host with exactly that bound).
     rounds = 1 if sweep_small else 2
 
     def panel(q, carry):
         S, pivrow_of_col, is_piv, L = carry
         j0 = q * nb
-        P = jax.lax.dynamic_slice(S, (0, j0), (n, nb))
-        out = _panel_sweep(P, is_piv, p, rref, rounds)
-        S = jax.lax.dynamic_update_slice(S, out.P, (0, j0))
-
-        lrows_safe = jnp.where(out.lhas, out.lrows, 0)
-        # small composed system: T = I + diag(c) * strict_lower(M)
-        M = out.G[lrows_safe, :]                          # (nb, nb)
-        M = jnp.where(out.lhas[:, None], M, 0)
-        M = jnp.tril(M, -1)
-        T = dnorm(jnp.eye(nb, dtype=jnp.int64)
-                  + dnorm64(out.C[:, None] * M.astype(jnp.int64), p), p)
-        Tinv = _unit_lower_inverse(T, p)
-
-        rows = S[lrows_safe, :]                           # (nb, m)
-        rows = jnp.where(out.lhas[:, None], rows, 0)
-        rows = dnorm(out.C[:, None] * rows.astype(jnp.int64), p)
-        U = matmul_digits(Tinv, rows, p, weights, d)      # (nb, m)
-        # only trailing columns are touched (leading support is 0 by
-        # construction, panel columns were updated by the sweep)
-        colmask = jnp.arange(m) >= (j0 + nb)
-        U = jnp.where(colmask[None, :], U, 0)
-        delta = matmul_digits(out.G, U, p, weights, d)    # (n, m)
-        S = dnorm(S.astype(jnp.int64) - delta.astype(jnp.int64), p)
-
+        S, lrows, lhas, is_piv, L = _panel_step(
+            S, j0, is_piv, L, p, weights, d, nb, rref, small, rounds,
+            use_pallas)
         idx = j0 + jnp.arange(nb)
         pivrow_of_col = pivrow_of_col.at[idx].set(
-            jnp.where(out.lhas, out.lrows, -1))
-        if want_l:
-            # multiplier column for slot t: g_t plus pivval at the pivot row
-            Lcols = out.G.at[lrows_safe, jnp.arange(nb)].add(
-                jnp.where(out.lhas, out.pivvals, 0))
-            Lcols = jnp.where(out.lhas[None, :], Lcols, 0)
-            L = jax.lax.dynamic_update_slice(L, Lcols, (0, j0))
-        return S, pivrow_of_col, out.is_piv, L
+            jnp.where(lhas, lrows, -1))
+        return S, pivrow_of_col, is_piv, L
 
     L0 = jnp.zeros((n, m if want_l else 1), jnp.int32)
     init = (S, jnp.full((m,), -1, jnp.int32),
@@ -195,10 +307,10 @@ def _size_bucket(x: int, quantum: int) -> int:
     return -(-x // 512) * 512
 
 
-def _pad(S: np.ndarray, nb: int) -> np.ndarray:
+def _pad(S: np.ndarray, nb: int, rows_quantum: int = 32) -> np.ndarray:
     n, m = S.shape
     mp = _size_bucket(max(m, 1), nb)
-    np_ = _size_bucket(max(n, 1), 32)
+    np_ = _size_bucket(max(n, 1), rows_quantum)
     if mp == m and np_ == n:
         return S
     out = np.zeros((np_, mp), dtype=np.int32)
@@ -206,12 +318,20 @@ def _pad(S: np.ndarray, nb: int) -> np.ndarray:
     return out
 
 
+def _use_pallas(p: int, d: int) -> bool:
+    from .sweep_pallas import PALLAS_MAX_PRIME, pallas_available
+    return d == 2 and p <= PALLAS_MAX_PRIME and pallas_available()
+
+
 def _run(S: np.ndarray, p: int, rref: bool, nb: int):
     F = device_field(p)
-    Sp = _pad(np.ascontiguousarray(S, np.int32), nb)
+    pall = _use_pallas(p, F.ndigits)
+    # Mosaic wants the transposed panel's lane dimension 128-aligned
+    Sp = _pad(np.ascontiguousarray(S, np.int32), nb,
+              rows_quantum=128 if pall else 32)
     return _eliminate(jnp.asarray(Sp), jnp.int64(p),
                       jnp.asarray(F.weights), F.ndigits, rref, nb,
-                      p <= (1 << 24))
+                      p <= (1 << 23), pall)
 
 
 # Below this many elements a numpy sweep beats device dispatch + compile.

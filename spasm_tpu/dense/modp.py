@@ -1,22 +1,25 @@
 """Exact GF(p) arithmetic on device (int32 balanced representation).
 
 The workhorse is `modp_matmul`: an exact modular matrix product built from
-int8 x int8 -> int32 MXU matmuls.  Balanced int32 values are decomposed into
-D base-128 digits (each in [-64, 63], so any digit product is <= 4096 and
-tens of thousands of them accumulate exactly in int32).  The D*D digit
-products are computed as one batched MXU einsum and recombined with
-per-digit-weight modular reduction in int64 (cheap O(n*m) work vs the
-O(n*m*k) matmuls).
+int8 x int8 -> int32 MXU matmuls.  Balanced int32 values are decomposed
+into D base-256 digits (each in [-128, 127], so any digit product is
+<= 16384 and tens of thousands of them accumulate exactly in int32).  The
+D*D digit products are computed as one batched MXU einsum and recombined
+with per-digit-weight modular reduction (cheap O(n*m) work vs the
+O(n*m*k) matmuls).  For the D=2 tier (p <= 65279, which includes the
+reference's default modulus 42013) the recombination runs entirely in
+int32 + float32-reciprocal Barrett — no int64 lanes at all, which matters
+on TPU where int64 is emulated.
 
 The prime is a *runtime* scalar: only the digit count D (and shapes) are
 compile-time constants, so one compiled kernel serves every prime of a
 given size tier.  D plays the role of the reference's float/double/i64
-datatype choice (spasm_ffpack.cpp:130-139): D=2 up to ~2^13, D=3 up to
-~2^20, D=5 for the full range p <= 2^32-5.
+datatype choice (spasm_ffpack.cpp:130-139): D=2 up to 65279, D=3 up to
+~2^24, D=4 for the full range p <= 2^32-5.
 
-Overflow discipline (int64 lanes): every multiplication has *balanced*
-operands (|x| <= p/2 < 2^31), so products stay below 2^62; sums of
-products are reduced term-wise before accumulation.
+Overflow discipline: digit products accumulate in int32 (contraction
+chunked so diagonal sums stay < 2^31); weighted recombination uses int64
+lanes only for D >= 3, with every product of balanced operands < 2^62.
 """
 from __future__ import annotations
 
@@ -27,32 +30,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_DIGIT_BITS = 7
-_DIGIT_BASE = 1 << _DIGIT_BITS          # 128
+_DIGIT_BITS = 8
+_DIGIT_BASE = 1 << _DIGIT_BITS          # 256
 
-# Max contraction depth per int8-matmul chunk so the digit convolution
-# accumulates exactly in int32:  D * k * 64^2 < 2^31  =>  k < 2^19 / D.
-_K_CHUNK = 1 << 16
+# Max contraction depth per int8-matmul chunk so each anti-diagonal sum of
+# digit products accumulates exactly in int32:
+#   (#terms <= min(d, s+1)) * k * 128^2 < 2^31.
+def _k_chunk(d: int) -> int:
+    return 1 << 14 if d >= 4 else 1 << 15
 
 
 class DeviceField(NamedTuple):
     """Per-prime constants; only `ndigits` is baked into compiled code."""
     p: int
     ndigits: int
-    weights: np.ndarray      # (2*D - 1,) int64 balanced residues of 128^s
+    weights: np.ndarray      # (2*D - 1,) int64 balanced residues of 256^s
+
+
+# Largest value representable by d balanced base-256 int8 digits is
+# 127 * (256^d - 1) / 255 (and -128 * ... on the negative side); the
+# binding constraint for |x| <= p//2 is the positive one.
+def _digit_reach(d: int) -> int:
+    return 127 * (_DIGIT_BASE ** d - 1) // (_DIGIT_BASE - 1)
 
 
 @functools.lru_cache(maxsize=64)
 def device_field(p: int) -> DeviceField:
-    # smallest d whose balanced base-128 digits reach +-p/2:
-    # max representable = 63 * (128^d - 1) / 127.
-    # Quantized to {2, 4, 5} so one compiled kernel serves a whole tier
-    # (the analog of the reference's float/double/i64 datatype choice).
     d = 2
-    while 63 * (_DIGIT_BASE ** d - 1) // (_DIGIT_BASE - 1) < p // 2:
+    while d < 4 and _digit_reach(d) < p // 2:
         d += 1
-    if d == 3:
-        d = 4
+    # d == 4 covers the full range p <= 2^32-5: values beyond the positive
+    # digit reach are re-mapped to v - p inside _digits.
     halfp = p // 2
     w = np.empty(2 * d - 1, dtype=np.int64)
     for s in range(2 * d - 1):
@@ -114,22 +122,65 @@ def modinv(a, p):
         return result, base, e >> 1
 
     e0 = jnp.asarray(p - 2, dtype=jnp.int64)
-    result, _, _ = jax.lax.fori_loop(0, 32, body, (jnp.int64(1), a64, e0))
+    result, _, _ = jax.lax.fori_loop(0, 32, body,
+                                     (jnp.ones_like(a64), a64, e0))
     return jnp.where(a64 == 0, jnp.int64(0), result)
 
 
-def _digits(x, d: int):
-    """Decompose balanced int32 -> (d, ...) int8 digits, base 128, balanced.
+def _reduce31(x, p, rounds: int = 2):
+    """Balanced x mod p for int32 x, |x| <= 2^31 - p; pure int32/float32.
 
-    x = sum_s digits[s] * 128^s with digits in [-64, 63].
+    q = rint(x/p) has |q*p| <= |x| + p/2 so everything stays in int32.
+    Two Barrett rounds + two conditional corrections are exact for any
+    int32 input (round 1 leaves |r| <= |x|*2^-23 + 0.51p <= 256 + 0.51p,
+    round 2 leaves |r| <= 0.52p, corrections cover |r| <= 1.5p).
+    """
+    x = x.astype(jnp.int32)
+    p32 = jnp.asarray(p, jnp.int32)
+    invp = 1.0 / p32.astype(jnp.float32)
+    for _ in range(rounds):
+        q = jnp.rint(x.astype(jnp.float32) * invp).astype(jnp.int32)
+        x = x - q * p32
+    half = (p32 - 1) >> 1
+    x = jnp.where(x > half, x - p32, x)
+    x = jnp.where(x < -half, x + p32, x)
+    return x
+
+
+def _digits(x, d: int, p=None):
+    """Decompose balanced int32 -> (d, ...) int8 digits, base 256, balanced.
+
+    x = sum_s digits[s] * 256^s with digits in [-128, 127].  For d == 4
+    the positive digit reach (2139062143) is slightly below (2^32-5)//2,
+    so values above it are re-mapped to v - p (same residue; lands inside
+    the wider negative reach).
     """
     out = []
-    v = x.astype(jnp.int64)       # int64: v +- 64 may overflow int32
+    if d >= 4:
+        v = x.astype(jnp.int64)
+        if p is not None:
+            v = jnp.where(v > _digit_reach(d), v - jnp.asarray(p, jnp.int64),
+                          v)
+    else:
+        v = x.astype(jnp.int32)   # |x| <= 8.4M for d <= 3: +-128 safe
     for _ in range(d):
-        lo = ((v + 64) & (_DIGIT_BASE - 1)) - 64      # balanced digit
+        lo = ((v + 128) & (_DIGIT_BASE - 1)) - 128      # balanced digit
         out.append(lo.astype(jnp.int8))
         v = (v - lo) >> _DIGIT_BITS
     return jnp.stack(out)
+
+
+def _diag_parts(P, d: int):
+    """Anti-diagonal sums part_s = sum_{d1+d2=s} P[d1,d2], int32 exact."""
+    parts = []
+    for s in range(2 * d - 1):
+        part = None
+        for d1 in range(d):
+            d2 = s - d1
+            if 0 <= d2 < d:
+                part = P[d1, d2] if part is None else part + P[d1, d2]
+        parts.append(part)
+    return parts
 
 
 def matmul_digits(A, B, p, weights, d: int):
@@ -137,25 +188,46 @@ def matmul_digits(A, B, p, weights, d: int):
     weights (2d-1,) int64; d static."""
     n, k = A.shape
     _, m = B.shape
-    nchunks = -(-k // _K_CHUNK)
-    acc = jnp.zeros((n, m), dtype=jnp.int64)
+    kc = _k_chunk(d)
+    nchunks = -(-k // kc)
+    small = d == 2   # weighted sum of balanced values fits int32
+    acc = jnp.zeros((n, m), dtype=jnp.int32 if small else jnp.int64)
     for c in range(nchunks):
-        lo = c * _K_CHUNK
-        hi = min(k, lo + _K_CHUNK)
-        Ad = _digits(A[:, lo:hi], d)                  # (d, n, kc) int8
-        Bd = _digits(B[lo:hi, :], d)                  # (d, kc, m) int8
+        lo = c * kc
+        hi = min(k, lo + kc)
+        Ad = _digits(A[:, lo:hi], d, p)               # (d, n, kc) int8
+        Bd = _digits(B[lo:hi, :], d, p)               # (d, kc, m) int8
         # all d*d digit products in one batched MXU call
         P = jnp.einsum("ank,bkm->abnm", Ad, Bd,
                        preferred_element_type=jnp.int32)
-        for s in range(2 * d - 1):
-            part = jnp.zeros((n, m), dtype=jnp.int32)
-            for d1 in range(d):
-                d2 = s - d1
-                if 0 <= d2 < d:
-                    part = part + P[d1, d2]
-            acc = acc + dnorm64(part.astype(jnp.int64) * weights[s], p)
-        if (c + 1) % 64 == 0:                          # keep acc bounded
-            acc = dnorm64(acc, p)
+        parts = _diag_parts(P, d)
+        if small:
+            # int32-only: b_s balanced (<= p/2 <= 32639), weighted sum
+            # <= p/2 + 2*(p/2)^2 < 2^31 for p <= 65279
+            b = [_reduce31(parts[s], p) for s in range(3)]
+            w32 = weights.astype(jnp.int32)
+            x = b[0] + w32[1] * b[1] + w32[2] * b[2]
+            acc = acc + _reduce31(x, p)
+            if (c + 1) % (1 << 14) == 0:
+                acc = _reduce31(acc, p)
+        elif d == 3:
+            # p <= 16.7M fits int32: reduce each diagonal in int32, then
+            # weight in int64 (products of balanced operands < 2^47)
+            for s in range(2 * d - 1):
+                b = _reduce31(parts[s], p).astype(jnp.int64)
+                acc = acc + dnorm64(b * weights[s], p)
+            if (c + 1) % 64 == 0:                      # keep acc bounded
+                acc = dnorm64(acc, p)
+        else:
+            # d == 4: p may exceed int32; diagonals are < 2^30 hence
+            # |part * w| < 2^61, within dnorm64's exact range
+            for s in range(2 * d - 1):
+                acc = acc + dnorm64(
+                    parts[s].astype(jnp.int64) * weights[s], p)
+            if (c + 1) % 64 == 0:
+                acc = dnorm64(acc, p)
+    if small:
+        return _reduce31(acc, p)
     return dnorm(acc, p)
 
 

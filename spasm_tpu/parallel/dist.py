@@ -17,7 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..dense.modp import matmul_digits, dnorm, device_field
-from ..dense.elim import _panel_sweep, _unit_lower_inverse
+from ..dense.elim import _panel_step
 
 
 def make_mesh(n_devices: int = None, devices=None) -> Mesh:
@@ -105,27 +105,13 @@ def _round_step(S, p, weights, d: int, nb: int):
     in_shardings; returns (S', pivot_count).
     """
     n, m = S.shape
-    # gather the leading panel (all_gather along 'cols' inserted by SPMD)
-    panel = jax.lax.dynamic_slice(S, (0, 0), (n, nb))
-    out = _panel_sweep(panel, jnp.zeros((n,), bool), p, True)
-    lrows_safe = jnp.where(out.lhas, out.lrows, 0)
-    M = out.G[lrows_safe, :]
-    M = jnp.where(out.lhas[:, None], M, 0)
-    M = jnp.tril(M, -1)
-    from ..dense.modp import dnorm64
-    T = dnorm(jnp.eye(nb, dtype=jnp.int64)
-              + dnorm64(out.C[:, None] * M.astype(jnp.int64), p), p)
-    Tinv = _unit_lower_inverse(T, p)
-    rows = S[lrows_safe, :]
-    rows = jnp.where(out.lhas[:, None], rows, 0)
-    rows = dnorm(out.C[:, None] * rows.astype(jnp.int64), p)
-    U = matmul_digits(Tinv, rows, p, weights, d)
-    colmask = jnp.arange(m) >= nb
-    U = jnp.where(colmask[None, :], U, 0)
-    delta = matmul_digits(out.G, U, p, weights, d)
-    S = dnorm(S.astype(jnp.int64) - delta.astype(jnp.int64), p)
-    S = jax.lax.dynamic_update_slice(S, out.P, (0, 0))
-    return S, jnp.sum(out.lhas.astype(jnp.int32))
+    # the panel step gathers the leading panel (all_gather along 'cols'
+    # inserted by SPMD) and applies the trailing update as sharded matmuls
+    S, _, lhas, _, _ = _panel_step(
+        S, jnp.int64(0), jnp.zeros((n,), bool),
+        jnp.zeros((n, 1), jnp.int32), p, weights, d, nb,
+        rref=True, small=(d == 2), rounds=2)
+    return S, jnp.sum(lhas.astype(jnp.int32))
 
 
 def distributed_round_step(mesh: Mesh, S: np.ndarray, p: int,
