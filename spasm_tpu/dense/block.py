@@ -197,25 +197,48 @@ class UEliminator:
         colsp[:union.size] = union
         self.chunks.append(_Chunk(colsp, jp, V))
 
-    def eliminate(self, X: np.ndarray) -> np.ndarray:
-        """Eliminate dense block X (B, m) against all registered U rows.
+    def append_device_chunk(self, V, cols: np.ndarray, jpos: np.ndarray):
+        """Register an already-composed chunk resident on device.
 
-        Returns X with elimination coefficients on pivotal columns and the
-        Schur residue elsewhere (same convention as the scalar
-        sparse_triangular_solve).
+        V: (K, C) int32 device array of mutually reduced rows (value 1 at
+        the pivot slots — e.g. the pivot rows of a device RREF, whose
+        intra-chunk corrections are zero by construction, so V needs no
+        (I+W)^-1 composition).  cols: (C,) global column ids (host);
+        jpos: (K,) positions of the pivot columns inside cols (host).
+        No host<->device transfer of V takes place.
         """
-        self.flush()
-        if not self.chunks:
-            return X
+        self.flush()        # keep engine ordering: staged rows first
+        K, C = V.shape
+        Kp = _bucket(K)
+        Cp = _bucket(C)
+        if (Kp, Cp) != (K, C):
+            V = jnp.pad(V, ((0, Kp - K), (0, Cp - C)))
+        jp = np.full(Kp, 0, np.int64)
+        jp[:K] = np.asarray(jpos, np.int64)
+        if Kp > K:
+            dead = C + np.arange(Kp - K) % max(Cp - C, 1)
+            jp[K:] = dead
+        colsp = np.full(Cp, self.m, np.int64)
+        colsp[:C] = np.asarray(cols, np.int64)
+        self.chunks.append(_Chunk(colsp, jp, V))
+
+    def pad_block(self, X: np.ndarray):
+        """Host block (B, m) -> padded device array (row/col buckets;
+        the extra dead column absorbs padded-slot writes)."""
         from .elim import _size_bucket
         B, m = X.shape
-        # pad rows and columns to buckets (dead columns absorb padded-slot
-        # writes; the extra width also bounds jit variants)
         Bp = _size_bucket(B, 8)
         mp = _size_bucket(m + 1, 64)
         Xp = np.zeros((Bp, mp), np.int32)
         Xp[:B, :m] = X
-        Xd = jnp.asarray(Xp)
+        return jnp.asarray(Xp)
+
+    def eliminate_device(self, Xd):
+        """Device-resident eliminate: Xd (Bp, mp) padded int32 on device;
+        returns the updated device array (no host transfers)."""
+        self.flush()
+        if not self.chunks:
+            return Xd
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
         # fuse consecutive same-bucket chunks into single scan dispatches
@@ -239,4 +262,18 @@ class UEliminator:
                 Xd = _apply_chunk_run(Xd, cols, jpos, V, p64, w,
                                       self.F.ndigits)
             k = k2
+        return Xd
+
+    def eliminate(self, X: np.ndarray) -> np.ndarray:
+        """Eliminate dense block X (B, m) against all registered U rows.
+
+        Returns X with elimination coefficients on pivotal columns and the
+        Schur residue elsewhere (same convention as the scalar
+        sparse_triangular_solve).
+        """
+        self.flush()
+        if not self.chunks:
+            return X
+        B = X.shape[0]
+        Xd = self.eliminate_device(self.pad_block(X))
         return np.asarray(Xd)[:B, :self.m]

@@ -334,6 +334,31 @@ def _run(S: np.ndarray, p: int, rref: bool, nb: int):
                       p <= (1 << 23), pall)
 
 
+def dense_rref_device(Xd, p: int, nb: int = _NB):
+    """Device-resident RREF: no matrix-sized device->host transfer.
+
+    Xd: (n, m) int32 balanced, resident on device.  Returns
+    (Rd, pivcols): Rd is the (rank, m) device array of reduced pivot rows
+    (ordered by pivot column, unit pivots); pivcols the ascending host
+    pivot-column indices.  Only the (m,) pivot-row map crosses to host.
+    """
+    F = device_field(p)
+    pall = _use_pallas(p, F.ndigits)
+    n, m = Xd.shape
+    mp = _size_bucket(max(m, 1), nb)
+    np_ = _size_bucket(max(n, 1), 128 if pall else 32)
+    if (np_, mp) != (n, m):
+        Xd = jnp.pad(Xd, ((0, np_ - n), (0, mp - m)))
+    Sf, pivrow_of_col, _, _ = _eliminate(
+        Xd, jnp.int64(p), jnp.asarray(F.weights), F.ndigits, True, nb,
+        p <= (1 << 23), pall)
+    pivrow = np.asarray(pivrow_of_col)[:m]          # small: m int32
+    pivcols = np.nonzero(pivrow >= 0)[0]
+    rows = jnp.asarray(pivrow[pivcols], jnp.int32)
+    Rd = Sf[rows, :m] if pivcols.size else jnp.zeros((0, m), jnp.int32)
+    return Rd, pivcols.astype(np.int64)
+
+
 # Below this many elements a numpy sweep beats device dispatch + compile.
 _HOST_LIMIT = 1 << 16
 

@@ -107,7 +107,13 @@ class _LBuilder:
 
 
 class _UBuilder:
-    """Incremental U accumulator: rows with unitary pivots first."""
+    """Incremental U accumulator: rows with unitary pivots first.
+
+    Rows may arrive as host (cols, vals) pairs or as *device-resident
+    dense blocks* (the pivot rows of a device RREF); the latter are
+    materialized to host sparse rows lazily, so the engine's hot path
+    never waits on a matrix-sized device->host transfer.
+    """
 
     def __init__(self, m: int, prime: int):
         self.m = m
@@ -116,6 +122,8 @@ class _UBuilder:
         self.rows: List[tuple] = []      # (cols, vals), pivot first
         self.qinv = np.full(m, -1, dtype=np.int64)
         self.pivcol: List[int] = []
+        # deferred device blocks: (Rd, colmap, pivcols_global, base_row)
+        self._pending: List[tuple] = []
 
     @property
     def n(self) -> int:
@@ -131,22 +139,83 @@ class _UBuilder:
         self.qinv[pivcol] = k
         self.pivcol.append(int(pivcol))
 
+    def add_dense_rows_device(self, Rd, colmap: np.ndarray,
+                              pivcols_global: np.ndarray):
+        """Register device RREF rows without transferring them.
+
+        Rd: (rank, w) int32 device block (row k has value 1 at the column
+        mapping to pivcols_global[k]); colmap: (w,) global column ids.
+        """
+        k0 = len(self.rows)
+        for i, pc in enumerate(np.asarray(pivcols_global, np.int64)):
+            self.qinv[pc] = k0 + i
+            self.pivcol.append(int(pc))
+            self.rows.append(None)
+        self._pending.append((Rd, np.asarray(colmap, np.int64),
+                              np.asarray(pivcols_global, np.int64), k0))
+
+    def flush_device(self):
+        """Materialize pending device blocks into host sparse rows."""
+        for Rd, colmap, pivcols, k0 in self._pending:
+            R = np.asarray(Rd)                     # the one D2H transfer
+            nz_r, nz_c = np.nonzero(R)
+            counts = np.bincount(nz_r, minlength=R.shape[0])
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            vals_flat = R[nz_r, nz_c].astype(np.int32)
+            cols_flat = colmap[nz_c]
+            for i in range(R.shape[0]):
+                sl = slice(offs[i], offs[i + 1])
+                cols = cols_flat[sl]
+                vals = vals_flat[sl]
+                pc = pivcols[i]
+                sel = cols != pc
+                c = np.concatenate(([pc], cols[sel])).astype(np.int32)
+                v = np.concatenate(([1], vals[sel])).astype(np.int32)
+                self.rows[k0 + i] = (c, v)
+        self._pending = []
+
     def snapshot_csr(self) -> CSR:
+        self.flush_device()
         return CSR.from_rows(self.n, self.m, self.prime, self.rows)
 
     def nnz(self) -> int:
+        if self._pending:
+            return -1          # unknown without forcing a transfer
         return sum(c.size for c, _ in self.rows)
 
 
-@dataclasses.dataclass
 class LU:
-    """Result object (the reference's struct spasm_lu, spasm.h:64-72)."""
-    r: int
-    U: CSR
-    qinv: np.ndarray            # (m,) pivot of col j on row qinv[j] of U
-    L: Optional[CSR] = None
-    p: Optional[np.ndarray] = None   # (r,) original row of pivot k
-    complete: bool = False
+    """Result object (the reference's struct spasm_lu, spasm.h:64-72).
+
+    U may be deferred: when constructed with a thunk, the CSR is
+    materialized from the device on first access, so rank-only flows
+    (e.g. tools/rank) never pay the matrix-sized device->host transfer.
+    """
+
+    def __init__(self, r: int, U: Optional[CSR] = None,
+                 qinv: Optional[np.ndarray] = None,
+                 L: Optional[CSR] = None,
+                 p: Optional[np.ndarray] = None, complete: bool = False,
+                 u_thunk=None):
+        self.r = r
+        self._U = U
+        self._u_thunk = u_thunk
+        self.qinv = qinv        # (m,) pivot of col j on row qinv[j] of U
+        self.L = L
+        self.p = p              # (r,) original row of pivot k
+        self.complete = complete
+
+    @property
+    def U(self) -> CSR:
+        if self._U is None and self._u_thunk is not None:
+            self._U = self._u_thunk()
+            self._u_thunk = None
+        return self._U
+
+    @U.setter
+    def U(self, value):
+        self._U = value
+        self._u_thunk = None
 
 
 class _Engine:
@@ -259,6 +328,14 @@ class _Engine:
         if n == 0 or S.nnz == 0:
             return True
         Sn = int(np.ceil(128 / np.log2(self.prime)))
+        if self.elim.nrows > 0:
+            # device-resident: only the (m,) pivot map returns to host
+            from .dense.elim import dense_rref_device
+            Xd, _ = schur_dense_randomized(S, p, n, None, self.U.qinv,
+                                           Sn, 0, eliminator=self.elim,
+                                           return_device=True)
+            _, pivcols = dense_rref_device(Xd, self.prime)
+            return len(pivcols) == 0
         U = self.U.snapshot_csr()
         X, _ = schur_dense_randomized(S, p, n, U, self.U.qinv, Sn, 0,
                                       eliminator=self.elim)
@@ -278,17 +355,33 @@ class _Engine:
         old_un = self.U.n
         seed = 0
         rounds = 0
+        use_device = self.elim.nrows > 0
         while True:
             Sn = min(rank_ub, opts.dense_block_size)
             if Sn <= 0:
                 break
-            U = self.U.snapshot_csr()
-            X, q = schur_dense_randomized(S, p, n, U, self.U.qinv, Sn, w,
-                                          eliminator=self.elim,
-                                          seed_base=seed)
-            seed += Sn
-            R, pivcols = dense_rref(X, self.prime)
-            rr = len(pivcols)
+            if use_device:
+                from .dense.elim import dense_rref_device
+                Xd, q = schur_dense_randomized(
+                    S, p, n, None, self.U.qinv, Sn, w,
+                    eliminator=self.elim, seed_base=seed,
+                    return_device=True)
+                seed += Sn
+                Rd, pivcols = dense_rref_device(Xd, self.prime)
+                rr = len(pivcols)
+                if rr:
+                    self.elim.append_device_chunk(Rd, q, pivcols)
+                    self.U.add_dense_rows_device(Rd, q, q[pivcols])
+            else:
+                U = self.U.snapshot_csr()
+                X, q = schur_dense_randomized(S, p, n, U, self.U.qinv,
+                                              Sn, w, eliminator=self.elim,
+                                              seed_base=seed)
+                seed += Sn
+                R, pivcols = dense_rref(X, self.prime)
+                rr = len(pivcols)
+                if rr:
+                    self.update_after_rref(R, pivcols, q)
             if rr == 0:
                 if self.test_completion(S, p, n):
                     break
@@ -297,7 +390,7 @@ class _Engine:
                 continue
             if rr < 0.9 * Sn:
                 w = max(2 * w, 2)
-            self.update_after_rref(R, pivcols, q)
+            use_device = self.elim.nrows > 0
             rank_ub -= rr
             rounds += 1
             log.info("[lowrank] round %d: %d new pivots", rounds, rr)
@@ -312,24 +405,40 @@ class _Engine:
         old_un = self.U.n
         processed = 0
         lowrank_mode = False
+        # The reference caps blocks at dense_block_size (1000) for host
+        # RAM; on TPU bigger blocks amortize dispatch and keep the MXU
+        # busy, so scale up to an HBM element budget when possible.
+        elem_budget = 64 << 20
         while True:
-            Sn = min(opts.dense_block_size, n - processed)
+            nq = int(np.count_nonzero(self.U.qinv < 0))
+            auto_bs = max(opts.dense_block_size,
+                          elem_budget // max(nq, 1))
+            Sn = min(auto_bs if not opts.L else opts.dense_block_size,
+                     n - processed)
             if Sn <= 0:
                 break
             rows = p[processed:processed + Sn]
             lmark = self.L.truncate() if self.L is not None else 0
-            X, q, p_out = schur_dense_block(S, rows, p_in, self.U.qinv,
-                                            self.elim, self.L,
-                                            U_csr=self.U.snapshot_csr())
             if opts.L:
+                X, q, p_out = schur_dense_block(S, rows, p_in, self.U.qinv,
+                                                self.elim, self.L,
+                                                U_csr=self.U.snapshot_csr())
                 rank, prows, pivcols, Ld, Urows = dense_lu(X, self.prime)
                 self.update_after_lu(rank, prows, pivcols, Ld, Urows, q,
                                      p_out, lmark)
                 rr = rank
             else:
-                R, pivcols = dense_rref(X, self.prime)
+                # device-resident: eliminate -> RREF -> register the pivot
+                # rows as a device chunk; no matrix-sized D2H transfer
+                from .dense.elim import dense_rref_device
+                from .schur import schur_dense_block_device
+                Xd, q, p_out = schur_dense_block_device(
+                    S, rows, p_in, self.U.qinv, self.elim)
+                Rd, pivcols = dense_rref_device(Xd, self.prime)
                 rr = len(pivcols)
-                self.update_after_rref(R, pivcols, q)
+                if rr:
+                    self.elim.append_device_chunk(Rd, q, pivcols)
+                    self.U.add_dense_rows_device(Rd, q, q[pivcols])
             processed += Sn
             log.info("[dense] block of %d rows: %d new pivots", Sn, rr)
             rank_ub = min(S.n - self.U.n, self.m - self.U.n)
@@ -511,13 +620,16 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
             log.info("[echelonize] no finisher enabled; "
                      "incomplete echelonization returned")
 
-    U = eng.U.snapshot_csr()
-    r = U.n
-    fact = LU(r, U, eng.U.qinv.copy())
+    # U materializes lazily: rank-only consumers (tools/rank) never pay
+    # the matrix-sized device->host transfer of the basis
+    r = eng.U.n
+    fact = LU(r, None, eng.U.qinv.copy(), u_thunk=eng.U.snapshot_csr)
     if opts.L:
         fact.L = eng.L.build(n, r)
         fact.p = np.asarray(eng.Lp[:r], dtype=np.int64)
         fact.complete = opts.complete
-    log.info("[echelonize] done in %.1fs; rank %d, %d nz in basis",
-             time.time() - t0, r, U.nnz)
+    nnz = eng.U.nnz()
+    log.info("[echelonize] done in %.1fs; rank %d%s",
+             time.time() - t0, r,
+             ", %d nz in basis" % nnz if nnz >= 0 else "")
     return fact

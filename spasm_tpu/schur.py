@@ -64,6 +64,26 @@ def _block_rows_dense(A: CSR, rows: np.ndarray) -> np.ndarray:
     return X
 
 
+def _block_rows_device(A: CSR, rows: np.ndarray, Bp: int, mp: int):
+    """Densify the given rows of A directly ON DEVICE: only the sparse
+    entries (nnz of the block, not B*m dense words) cross host->device,
+    then one scatter materializes the padded (Bp, mp) block."""
+    import jax.numpy as jnp
+    from .csr import _concat_ranges
+    rows = np.asarray(rows, np.int64)
+    starts = A.indptr[rows]
+    lens = (A.indptr[rows + 1] - starts).astype(np.int64)
+    gather = _concat_ranges(starts, lens)
+    cols = A.indices[gather].astype(np.int64)
+    vals = A.data[gather].astype(np.int32)
+    rowrep = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
+    Xd = jnp.zeros((Bp, mp), jnp.int32)
+    if cols.size:
+        Xd = Xd.at[jnp.asarray(rowrep), jnp.asarray(cols)].set(
+            jnp.asarray(vals))
+    return Xd
+
+
 _DEVICE_THRESHOLD = 1 << 21    # rows*m below this: scalar host path wins
 
 
@@ -170,18 +190,45 @@ def schur_dense_block(A: CSR, rows: np.ndarray, p_in: Optional[np.ndarray],
     return X[:, q], q, p_out
 
 
+def schur_dense_block_device(A: CSR, rows: np.ndarray,
+                             p_in: Optional[np.ndarray],
+                             qinv: np.ndarray, eliminator):
+    """Device-resident dense Schur block for the RREF finisher.
+
+    Densifies the rows on host (cheap, H2D only), eliminates against the
+    device chunk basis, and *keeps the result on device*.  Returns
+    (Xd, q, p_out): Xd a (len(rows), |q|) device block compacted to the
+    non-pivotal columns q.
+    """
+    import jax.numpy as jnp
+    from .dense.elim import _size_bucket
+    q = np.nonzero(qinv < 0)[0]
+    Bp = _size_bucket(len(rows), 8)
+    mp = _size_bucket(A.m + 1, 64)
+    Xd = _block_rows_device(A, rows, Bp, mp)
+    if eliminator.nrows > 0:
+        Xd = eliminator.eliminate_device(Xd)
+    Xd = Xd[:len(rows)][:, jnp.asarray(q)]
+    p_out = np.asarray([int(p_in[i]) if p_in is not None else int(i)
+                        for i in rows], dtype=np.int64)
+    return Xd, q, p_out
+
+
 def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
                            qinv: np.ndarray, N: int, w: int,
                            eliminator=None,
-                           seed_base: int = 0) -> Tuple[np.ndarray,
-                                                        np.ndarray]:
+                           seed_base: int = 0,
+                           return_device: bool = False
+                           ) -> Tuple[np.ndarray, np.ndarray]:
     """N random linear combinations of the Schur complement rows.
 
     w > 0: combinations of w randomly chosen rows (first coeff 1);
     w <= 0: combinations of all n rows with PRNG coefficients.
-    Returns (S, q) like schur_dense_block.
+    Returns (S, q) like schur_dense_block; with return_device=True the
+    block stays resident on device (no D2H transfer).
     (reference: spasm_schur_dense_randomized, spasm_schur.c:346-413)
     """
+    import jax.numpy as jnp
     m = A.m
     prime = A.prime
     q = np.nonzero(qinv < 0)[0]
@@ -203,8 +250,11 @@ def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
             _combine_rows(A, p[sel], coeffs, y, F)
     Xi = F.narray(X).astype(np.int32)
     if eliminator is not None and eliminator.nrows > 0 \
-            and N * m >= _DEVICE_THRESHOLD:
-        Xi = eliminator.eliminate(Xi)
+            and (return_device or N * m >= _DEVICE_THRESHOLD):
+        Xd = eliminator.eliminate_device(eliminator.pad_block(Xi))
+        if return_device:
+            return Xd[:N][:, jnp.asarray(q)], q
+        Xi = np.asarray(Xd)[:N, :m]
     elif U.n:
         from . import native
         if native.HAVE_NATIVE:
@@ -216,6 +266,8 @@ def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
             Xi = out
         else:
             Xi = _eliminate_scalar(Xi, U, qinv)
+    if return_device:
+        return jnp.asarray(Xi[:, q]), q
     return Xi[:, q], q
 
 
