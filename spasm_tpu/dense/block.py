@@ -44,26 +44,31 @@ class _Chunk(NamedTuple):
     V: jnp.ndarray          # (K, |C|) composed elimination rows (device)
 
 
-def _unit_upper_inverse(W, p):
-    """Inverse of unit upper-triangular (K, K) mod p (term-wise reduced)."""
+def _unit_upper_inverse_log(W, p, weights, d: int):
+    """(I + W)^-1 for strictly upper-triangular W mod p, by log-squaring.
+
+    W nilpotent (W^K = 0), so (I+W)^-1 = sum_i (-W)^i; the partial sums
+    satisfy S_{2j} = S_j (I + (-W)^j), giving ceil(log2 K) rounds of two
+    MXU matmuls instead of a K-step sequential loop — the loop was the
+    latency bottleneck of chunk composition on TPU.
+    """
     k = W.shape[0]
-
-    def step(t, Winv):
-        i = k - 1 - t
-        terms = mulmod(W[i, :, None], Winv, p)
-        prod = jnp.sum(terms, axis=0)
-        row = dnorm(-prod, p).at[i].add(1)
-        return Winv.at[i, :].set(dnorm(row.astype(jnp.int64), p))
-
-    return jax.lax.fori_loop(0, k, step, jnp.zeros_like(W))
+    eye = jnp.eye(k, dtype=jnp.int32)
+    N = dnorm(-W.astype(jnp.int64), p)
+    S = dnorm(eye.astype(jnp.int64) + N.astype(jnp.int64), p)
+    P = matmul_digits(N, N, p, weights, d)
+    rounds = max(int(np.ceil(np.log2(max(k, 2)))), 1)
+    for _ in range(rounds):
+        S = dnorm(S.astype(jnp.int64)
+                  + matmul_digits(S, P, p, weights, d).astype(jnp.int64), p)
+        P = matmul_digits(P, P, p, weights, d)
+    return S
 
 
 @functools.partial(jax.jit, static_argnames=("d",))
 def _compose_chunk(Udense, W, p, weights, d: int):
     """V = (I + W)^-1 @ Udense (mod p)."""
-    Winv = _unit_upper_inverse(
-        dnorm(jnp.eye(W.shape[0], dtype=jnp.int64) + W.astype(jnp.int64), p),
-        p)
+    Winv = _unit_upper_inverse_log(W.astype(jnp.int32), p, weights, d)
     return matmul_digits(Winv, Udense, p, weights, d)
 
 

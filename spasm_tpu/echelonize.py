@@ -60,6 +60,9 @@ class EchelonizeOptions:
     dense_block_size: int = 1000
     low_rank_ratio: float = 0.5
     low_rank_start_weight: int = -1
+    # TPU-build extension (not in the reference): BFS expansion budget for
+    # the greedy pivot search; -1 = auto (32 * nnz), 0 = unlimited.
+    greedy_work_budget: int = -1
 
 
 class _LBuilder:
@@ -245,7 +248,8 @@ class _Engine:
         """
         t0 = time.time()
         npiv, p, pinv, qinv_loc = find_structural_pivots(
-            S, self.opts.enable_greedy_pivot_search)
+            S, self.opts.enable_greedy_pivot_search,
+            self.opts.greedy_work_budget)
         F = self.field
         if npiv:
             # vectorized row extraction + batch normalization
@@ -262,7 +266,7 @@ class _Engine:
             pv = np.zeros(npiv, np.int64)
             pv[rowrep[on_piv]] = vals_flat[on_piv]
             alpha = F.inverse_array(pv).astype(np.int64)
-            scaled = F.narray(vals_flat * alpha[rowrep])
+            scaled = F.narray(vals_flat * alpha[rowrep]).astype(np.int32)
             offs = np.concatenate(([0], np.cumsum(lens)))
             iorigs = (np.asarray(p_in, np.int64)[rows]
                       if p_in is not None else rows)
@@ -270,10 +274,27 @@ class _Engine:
                 self.L.add_batch(iorigs,
                                  self.U.n + np.arange(npiv), pv)
             self.Lp.extend(int(v) for v in iorigs)
+            # pivot-first reordering, fully vectorized: swap the pivot
+            # entry of each row with the row's first slot
+            piv_pos = np.flatnonzero(on_piv)
+            first = offs[:-1]
+            cols2 = cols_flat.copy()
+            vals2 = scaled.copy()
+            cols2[piv_pos] = cols_flat[first]
+            vals2[piv_pos] = scaled[first]
+            cols2[first] = pivcols
+            vals2[first] = 1
+            cols32 = cols2.astype(np.int32)
+            k0 = self.U.n
+            stage = []
             for k in range(npiv):
                 sl = slice(offs[k], offs[k + 1])
-                self._push_u_row(int(pivcols[k]), cols_flat[sl],
-                                 scaled[sl])
+                c, v = cols32[sl], vals2[sl]
+                self.U.rows.append((c, v))
+                self.U.pivcol.append(int(pivcols[k]))
+                stage.append((cols2[sl], v, int(pivcols[k])))
+            self.U.qinv[pivcols] = k0 + np.arange(npiv)
+            self.elim.append_rows(stage, flush=False)
         self.elim.flush()
         log.info("[pivots] %d structural pivots found [%.2fs]",
                  npiv, time.time() - t0)

@@ -74,7 +74,8 @@ def _load():
     lib.spasm_solve_fetch.argtypes = [I64, I32, I32]
     lib.spasm_cycle_free_pivots.restype = ctypes.c_int64
     lib.spasm_cycle_free_pivots.argtypes = [
-        I64, I32, ctypes.c_int32, ctypes.c_int32, I64, I64]
+        I64, I32, ctypes.c_int32, ctypes.c_int32, I64, I64,
+        ctypes.c_int64]
     lib.spasm_gplu.restype = ctypes.c_int64
     lib.spasm_gplu.argtypes = [
         I64, I32, I32, ctypes.c_int32, ctypes.c_int32,
@@ -144,10 +145,11 @@ def solve_batch(U, B, rows, qinv, prime: int,
     return out
 
 
-def cycle_free_pivots(A, pinv: np.ndarray, qinv: np.ndarray) -> int:
+def cycle_free_pivots(A, pinv: np.ndarray, qinv: np.ndarray,
+                      work_budget: int = 0) -> int:
     return int(_lib.spasm_cycle_free_pivots(
         _p64(_arr64(A.indptr)), _p32(_arr32(A.indices)), A.n, A.m,
-        _p64(pinv), _p64(qinv)))
+        _p64(pinv), _p64(qinv), work_budget))
 
 
 def gplu(S, rows, row_origin, U0, qinv: np.ndarray, prime: int,

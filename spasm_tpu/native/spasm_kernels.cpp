@@ -244,12 +244,19 @@ void spasm_solve_fetch(i64 *lens, i32 *cols, i32 *vals) {
 
 // Greedy alternating-cycle-free pivot search (sequential, deterministic).
 // pinv/qinv are updated in place; returns the number of new pivots.
+// work_budget: total BFS expansions allowed before giving up (<=0 =
+// unlimited).  Greedy pivots are valid incrementally, so an early stop
+// keeps everything found so far; on expander-like matrices the full
+// search is O(n*nnz) for marginal gain (the dense finisher on TPU is
+// cheaper than the symbolic search on the host).
 i64 spasm_cycle_free_pivots(const i64 *Ap, const i32 *Aj, i32 n, i32 m,
-                            i64 *pinv, i64 *qinv) {
+                            i64 *pinv, i64 *qinv, i64 work_budget) {
     std::vector<int8_t> state(m, 0);   // 1 survivor, -1 reached
     std::vector<i32> queue(m);
     i64 npiv = 0;
+    i64 work = 0;
     for (i32 i = 0; i < n; ++i) {
+        if (work_budget > 0 && work > work_budget) break;
         if (pinv[i] >= 0) continue;
         const i64 lo = Ap[i], hi = Ap[i + 1];
         i32 head = 0, tail = 0;
@@ -268,6 +275,7 @@ i64 spasm_cycle_free_pivots(const i64 *Ap, const i32 *Aj, i32 n, i32 m,
             i32 j = queue[head++];
             i64 r = qinv[j];
             if (r < 0) continue;
+            work += Ap[r + 1] - Ap[r];
             for (i64 t = Ap[r]; t < Ap[r + 1]; ++t) {
                 i32 jj = Aj[t];
                 if (state[jj] >= 0) {

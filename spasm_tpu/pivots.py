@@ -82,28 +82,39 @@ def find_fl_column_pivots(A: CSR, pinv: np.ndarray, qinv: np.ndarray) -> int:
 
 
 def find_cycle_free_pivots(A: CSR, pinv: np.ndarray,
-                           qinv: np.ndarray) -> int:
+                           qinv: np.ndarray,
+                           work_budget: int = 0) -> int:
     """Greedy alternating-cycle-free pass (spasm_pivots.c:146-294).
 
     Sequential deterministic variant of the PASCO'17 transactional search:
     for each non-pivotal row, BFS the columns reachable from its entries
     through existing pivots; a surviving (unreachable, non-pivotal) entry
     becomes a new pivot.
+
+    work_budget > 0 caps the total BFS expansion count: on expander-like
+    matrices the full search costs O(n*nnz) host time for marginal gain
+    (the TPU dense finisher absorbs the leftover rows far cheaper), while
+    FL-friendly instances complete well inside the budget.  Early stop is
+    sound — greedy pivots are valid incrementally.
     """
     from . import native
     if native.HAVE_NATIVE:
-        return native.cycle_free_pivots(A, pinv, qinv)
-    return _find_cycle_free_pivots_py(A, pinv, qinv)
+        return native.cycle_free_pivots(A, pinv, qinv, work_budget)
+    return _find_cycle_free_pivots_py(A, pinv, qinv, work_budget)
 
 
 def _find_cycle_free_pivots_py(A: CSR, pinv: np.ndarray,
-                               qinv: np.ndarray) -> int:
+                               qinv: np.ndarray,
+                               work_budget: int = 0) -> int:
     m = A.m
     indptr, indices = A.indptr, A.indices
     state = np.zeros(m, dtype=np.int8)   # 0 clean, 1 survivor, -1 reached
     queue = np.empty(m, dtype=np.int64)
     npiv = 0
+    work = 0
     for i in np.nonzero(pinv < 0)[0]:
+        if work_budget > 0 and work > work_budget:
+            break
         cols = indices[indptr[i]:indptr[i + 1]]
         head = tail = 0
         surviving = 0
@@ -122,6 +133,7 @@ def _find_cycle_free_pivots_py(A: CSR, pinv: np.ndarray,
             r = qinv[j]
             if r < 0:
                 continue
+            work += int(indptr[r + 1] - indptr[r])
             for jj in indices[indptr[r]:indptr[r + 1]]:
                 if state[jj] >= 0:
                     surviving -= state[jj]
@@ -204,13 +216,15 @@ def topo_order_pivots(A: CSR, pinv: np.ndarray, qinv: np.ndarray,
     return p
 
 
-def find_structural_pivots(A: CSR, enable_greedy: bool = True
+def find_structural_pivots(A: CSR, enable_greedy: bool = True,
+                           greedy_work_budget: int = -1
                            ) -> Tuple[int, np.ndarray, np.ndarray,
                                       np.ndarray]:
     """All passes + topological reorder.
 
     Returns (npiv, p, pinv, qinv): p puts pivotal rows first in topological
     order; pinv[i] / qinv[j] locate the pivots (-1 if none).
+    greedy_work_budget: -1 = auto (32 * nnz), 0 = unlimited, else cap.
     """
     n, m = A.n, A.m
     pinv = np.full(n, -1, dtype=np.int64)
@@ -218,6 +232,8 @@ def find_structural_pivots(A: CSR, enable_greedy: bool = True
     npiv = find_fl_pivots(A, pinv, qinv)
     npiv += find_fl_column_pivots(A, pinv, qinv)
     if enable_greedy:
-        npiv += find_cycle_free_pivots(A, pinv, qinv)
+        budget = 32 * max(A.nnz, 1) if greedy_work_budget < 0 \
+            else greedy_work_budget
+        npiv += find_cycle_free_pivots(A, pinv, qinv, budget)
     p = topo_order_pivots(A, pinv, qinv, npiv)
     return npiv, p, pinv, qinv
