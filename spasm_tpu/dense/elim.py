@@ -48,6 +48,7 @@ from .modp import (dnorm, dnorm64, modinv, matmul_digits, device_field,
                    mulmod, _reduce31)
 
 _NB = 64          # panel width (local sweep length)
+_NBLK = 512       # column-block width of the composed trailing update
 
 
 def _mulsub(v, P, g, piv, p, small: bool, rounds: int):
@@ -256,39 +257,101 @@ def _panel_step(S, j0, is_piv, L, p, weights, d: int, nb: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("d", "rref", "nb", "sweep_small",
-                                    "use_pallas"))
+                                    "use_pallas", "nblk"))
 def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB,
-               sweep_small: bool = False, use_pallas: bool = False):
+               sweep_small: bool = False, use_pallas: bool = False,
+               nblk: int = 0):
     """Full blocked elimination.  S: (n, m) int32 balanced, m % nb == 0.
+
+    Two-level blocking: thin nb-panels discover pivots and update only the
+    current nblk-wide column block; the trailing matrix then receives ONE
+    composed update per block (contraction dim nblk, so the MXU runs near
+    peak instead of at the nb-wide panels' low arithmetic intensity).  The
+    composed update is exact block Gaussian elimination on the block's
+    pre-values: with R/J the block's pivot rows/columns and W = S_pre[R, J]
+    (nonsingular leading minors by construction, empty slots masked to
+    identity),
+        U     = W^-1 @ S[R, trail]          (RREF; Zlu @ ... for LU)
+        S    -= G @ U,   G = coeffs - I_at_pivot_slots
+    where the coefficients are S_pre[:, J] (RREF) or the multipliers the
+    inner panels already recorded in L (LU).
 
     Returns (S_final, pivrow_of_col (m,), is_piv (n,), L (n, m) or (n,1)).
     In LU mode, L slot column t of panel q holds the multiplier column of
     local step t (zero for empty slots); the host compacts it.
     """
     n, m = S.shape
-    npanels = m // nb
+    if nblk <= 0:
+        nblk = _NBLK
+    nblk = min(nblk, m)
+    if m % nblk != 0:        # padded sizes are 2^k or 512q: only tiny m
+        nblk = nb
+    npanels_blk = nblk // nb
+    nblocks = m // nblk
     want_l = not rref
     small = d == 2
     # Division-free updates are bounded by 2*(p/2)^2 <= p*(p/2); one
     # Barrett round is exact for |x| <= p * 2^22, i.e. p <= 2^23
     # (sweep_small is threaded from the host with exactly that bound).
     rounds = 1 if sweep_small else 2
+    eyeb = jnp.eye(nblk, dtype=jnp.int32)
+    slot = jnp.arange(nblk)
+    colids = jnp.arange(m)
 
-    def panel(q, carry):
+    def block(qb, carry):
         S, pivrow_of_col, is_piv, L = carry
-        j0 = q * nb
-        S, lrows, lhas, is_piv, L = _panel_step(
-            S, j0, is_piv, L, p, weights, d, nb, rref, small, rounds,
-            use_pallas)
-        idx = j0 + jnp.arange(nb)
-        pivrow_of_col = pivrow_of_col.at[idx].set(
-            jnp.where(lhas, lrows, -1))
+        j0 = qb * nblk
+        P_pre = jax.lax.dynamic_slice(S, (0, j0), (n, nblk))
+
+        def panel(q, c):
+            B, is_piv, lrows_a, lhas_a, Lb = c
+            jl = q * nb
+            B, lrows, lhas, is_piv, Lb = _panel_step(
+                B, jl, is_piv, Lb, p, weights, d, nb, rref, small,
+                rounds, use_pallas)
+            lrows_a = jax.lax.dynamic_update_slice(lrows_a, lrows, (jl,))
+            lhas_a = jax.lax.dynamic_update_slice(lhas_a, lhas, (jl,))
+            return B, is_piv, lrows_a, lhas_a, Lb
+
+        Lb0 = jnp.zeros((n, nblk if want_l else 1), jnp.int32)
+        B, is_piv, lrows, lhas, Lb = jax.lax.fori_loop(
+            0, npanels_blk, panel,
+            (P_pre, is_piv, jnp.full((nblk,), -1, jnp.int32),
+             jnp.zeros((nblk,), bool), Lb0))
+        S = jax.lax.dynamic_update_slice(S, B, (0, j0))
+        if want_l:
+            L = jax.lax.dynamic_update_slice(L, Lb, (0, j0))
+        pivrow_of_col = jax.lax.dynamic_update_slice(
+            pivrow_of_col, jnp.where(lhas, lrows, -1), (j0,))
+
+        def with_trailing(S):
+            lsafe = jnp.where(lhas, lrows, 0)
+            rows_pre = jnp.where(lhas[:, None], P_pre[lsafe, :], 0)
+            both = jnp.logical_and(lhas[:, None], lhas[None, :])
+            W = jnp.where(both, rows_pre, eyeb)
+            rows_cur = jnp.where(lhas[:, None], S[lsafe, :], 0)  # (nblk, m)
+            colmask = (colids >= j0 + nblk)[None, :]
+            if rref:
+                Z = _jordan_inverse(W, p, small, rounds)
+                G = jnp.where(lhas[None, :], P_pre, 0)
+            else:
+                Z, _ = _forward_factor(W, p, small, rounds)
+                G = jnp.where(lhas[None, :], Lb, 0)
+            U = matmul_digits(Z, rows_cur, p, weights, d)
+            U = jnp.where(jnp.logical_and(colmask, lhas[:, None]), U, 0)
+            G = G.at[lsafe, slot].add(jnp.where(lhas, jnp.int32(-1), 0))
+            delta = matmul_digits(G, U, p, weights, d)
+            return _submod(S, jnp.where(colmask, delta, 0), p, small)
+
+        if nblocks > 1:
+            S = jax.lax.cond(qb < nblocks - 1, with_trailing,
+                             lambda s: s, S)
         return S, pivrow_of_col, is_piv, L
 
     L0 = jnp.zeros((n, m if want_l else 1), jnp.int32)
     init = (S, jnp.full((m,), -1, jnp.int32),
             jnp.zeros((n,), bool), L0)
-    S, pivrow_of_col, is_piv, L = jax.lax.fori_loop(0, npanels, panel, init)
+    S, pivrow_of_col, is_piv, L = jax.lax.fori_loop(0, nblocks, block, init)
     return S, pivrow_of_col, is_piv, L
 
 
