@@ -38,10 +38,16 @@ _DEFAULT_CHUNK = 256
 _DENSE_BUDGET = 32 << 20      # max int32 elements per densified chunk
 
 
-class _Chunk(NamedTuple):
-    cols: np.ndarray        # (|C|,) global column ids (union support)
-    jpos: np.ndarray        # (K,) positions of pivot columns inside cols
-    V: jnp.ndarray          # (K, |C|) composed elimination rows (device)
+class _Run(NamedTuple):
+    """A stack of same-shape composed chunks, applied in order.
+
+    Keeping chunks pre-stacked on device means eliminate() issues ONE
+    scan dispatch per run instead of re-stacking host-side every call.
+    """
+    cols: jnp.ndarray       # (g, Cp) global column ids (padded -> m)
+    jpos: jnp.ndarray       # (g, Kp) pivot-column positions inside cols
+    V: jnp.ndarray          # (g, Kp, Cp) composed elimination rows
+    k: int                  # total real pivot rows across the run
 
 
 def _unit_upper_inverse_log(W, p, weights, d: int):
@@ -70,6 +76,16 @@ def _compose_chunk(Udense, W, p, weights, d: int):
     """V = (I + W)^-1 @ Udense (mod p)."""
     Winv = _unit_upper_inverse_log(W.astype(jnp.int32), p, weights, d)
     return matmul_digits(Winv, Udense, p, weights, d)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _compose_chunk_batch(Ud, W, p, weights, d: int):
+    """vmapped composition: Ud (g, K, C), W (g, K, K) -> V (g, K, C).
+    One dispatch composes a whole group of same-shape chunks."""
+    def one(u, w):
+        Winv = _unit_upper_inverse_log(w.astype(jnp.int32), p, weights, d)
+        return matmul_digits(Winv, u, p, weights, d)
+    return jax.vmap(one)(Ud, W)
 
 
 @functools.partial(jax.jit, static_argnames=("d",))
@@ -109,13 +125,6 @@ def _apply_chunk_run(X, cols, jpos, V, p, weights, d: int):
     return X
 
 
-def _pad_to(x: np.ndarray, size: int, fill=0) -> np.ndarray:
-    if x.shape[-1] == size:
-        return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, size - x.shape[-1])]
-    return np.pad(x, pad, constant_values=fill)
-
-
 def _bucket(k: int) -> int:
     """Round up to a power of two (min 32) to bound jit variants."""
     b = 32
@@ -136,13 +145,15 @@ class UEliminator:
         self.p = p
         self.F = device_field(p)
         self.chunk = chunk
-        self.chunks: List[_Chunk] = []
+        self.runs: List[_Run] = []
+        self._dispatch: Optional[List[_Run]] = None
+        self._dispatch_src = 0
         # staging area for rows not yet composed into a chunk
         self._stage: List[tuple] = []     # (cols, vals, pivcol)
 
     @property
     def nrows(self) -> int:
-        return sum(c.jpos.size for c in self.chunks) + len(self._stage)
+        return sum(r.k for r in self.runs) + len(self._stage)
 
     def append_rows(self, rows, flush: bool = True):
         """rows: iterable of (cols int64[], vals int32[], pivcol).
@@ -154,53 +165,70 @@ class UEliminator:
             self.flush()
 
     def flush(self):
-        while self._stage:
-            take = len(self._stage)
-            # shrink chunk so the densified size respects the budget
+        if not self._stage:
+            return
+        stage = self._stage
+        self._stage = []
+        # partition the stage into chunks respecting the dense budget
+        batches = []
+        i = 0
+        while i < len(stage):
+            take = min(len(stage) - i, self.chunk)
             while take > 1:
-                cols_union = set()
-                tot = 0
-                for c, _, _ in self._stage[:take]:
-                    cols_union.update(c.tolist())
-                if take * len(cols_union) <= _DENSE_BUDGET and \
-                        take <= self.chunk:
+                u = np.unique(np.concatenate(
+                    [stage[j][0] for j in range(i, i + take)])).size
+                if take * u <= _DENSE_BUDGET:
                     break
                 take //= 2
-            batch = self._stage[:take]
-            self._stage = self._stage[take:]
-            self._compose(batch)
+            batches.append(stage[i:i + take])
+            i += take
+        prepped = [self._prep(b) for b in batches]
+        # one vmapped composition dispatch per group of same-shape chunks
+        # (order preserved: only consecutive chunks group together)
+        j = 0
+        while j < len(prepped):
+            shape = prepped[j][0].shape
+            j2 = j
+            while j2 < len(prepped) and prepped[j2][0].shape == shape:
+                j2 += 1
+            group = prepped[j:j2]
+            Ud = np.stack([g[0] for g in group])
+            Wp = np.stack([g[1] for g in group])
+            V = _compose_chunk_batch(jnp.asarray(Ud), jnp.asarray(Wp),
+                                     jnp.int64(self.p),
+                                     jnp.asarray(self.F.weights),
+                                     self.F.ndigits)
+            cols = jnp.asarray(np.stack([g[2] for g in group]))
+            jpos = jnp.asarray(np.stack([g[3] for g in group]))
+            nreal = sum(g[4] for g in group)
+            self.runs.append(_Run(cols, jpos, V, nreal))
+            j = j2
 
-    def _compose(self, batch):
+    def _prep(self, batch):
+        """Host prep of one chunk: densify on the union support, pad to
+        buckets.  Returns (Ud (Kp,Cp), Wp (Kp,Kp), colsp, jp, K)."""
         K = len(batch)
         union = np.unique(np.concatenate([c for c, _, _ in batch]))
         pivcols = np.asarray([pc for _, _, pc in batch], np.int64)
-        # dense chunk on the union support
-        Ud = np.zeros((K, union.size), np.int32)
+        Kp = _bucket(K)
+        # always leave at least one padded (dead) column so padded pivot
+        # slots never clamp onto a real column
+        Cp = _bucket(union.size + 1)
+        Ud = np.zeros((Kp, Cp), np.int32)
         for k, (c, v, _) in enumerate(batch):
             Ud[k, np.searchsorted(union, c)] = v
         jpos = np.searchsorted(union, pivcols)
         # W[l, k] = U[l, j_k] for l < k (strictly upper)
-        W = Ud[:, jpos].astype(np.int32)
-        W = np.triu(W, 1)
-        # pad to buckets for jit reuse
-        Kp = _bucket(K)
-        Cp = _bucket(union.size)
-        Ud = _pad_to(np.pad(Ud, ((0, Kp - K), (0, 0))), Cp)
         Wp = np.zeros((Kp, Kp), np.int32)
-        Wp[:K, :K] = W
-        # padded pivot slots point at padded (zero) columns: position
-        # beyond union.size, each slot a distinct dead column
+        Wp[:K, :K] = np.triu(Ud[:K, jpos], 1)
+        # padded pivot slots point at padded (zero) columns
         jp = np.full(Kp, 0, np.int64)
         jp[:K] = jpos
         if Kp > K:
-            dead = union.size + np.arange(Kp - K) % max(Cp - union.size, 1)
-            jp[K:] = dead
-        V = _compose_chunk(jnp.asarray(Ud), jnp.asarray(Wp),
-                           jnp.int64(self.p), jnp.asarray(self.F.weights),
-                           self.F.ndigits)
+            jp[K:] = union.size + np.arange(Kp - K) % (Cp - union.size)
         colsp = np.full(Cp, self.m, np.int64)     # padded cols -> dead col m
         colsp[:union.size] = union
-        self.chunks.append(_Chunk(colsp, jp, V))
+        return Ud, Wp, colsp, jp, K
 
     def append_device_chunk(self, V, cols: np.ndarray, jpos: np.ndarray):
         """Register an already-composed chunk resident on device.
@@ -215,17 +243,17 @@ class UEliminator:
         self.flush()        # keep engine ordering: staged rows first
         K, C = V.shape
         Kp = _bucket(K)
-        Cp = _bucket(C)
+        Cp = _bucket(C + 1)      # at least one dead column (see _prep)
         if (Kp, Cp) != (K, C):
             V = jnp.pad(V, ((0, Kp - K), (0, Cp - C)))
         jp = np.full(Kp, 0, np.int64)
         jp[:K] = np.asarray(jpos, np.int64)
         if Kp > K:
-            dead = C + np.arange(Kp - K) % max(Cp - C, 1)
-            jp[K:] = dead
+            jp[K:] = C + np.arange(Kp - K) % (Cp - C)
         colsp = np.full(Cp, self.m, np.int64)
         colsp[:C] = np.asarray(cols, np.int64)
-        self.chunks.append(_Chunk(colsp, jp, V))
+        self.runs.append(_Run(jnp.asarray(colsp)[None], jnp.asarray(jp)[None],
+                              V[None], K))
 
     def pad_block(self, X: np.ndarray):
         """Host block (B, m) -> padded device array (row/col buckets;
@@ -238,35 +266,59 @@ class UEliminator:
         Xp[:B, :m] = X
         return jnp.asarray(Xp)
 
+    def _dispatch_runs(self) -> List[_Run]:
+        """Merge consecutive same-shape runs and pad each run's chunk
+        count to a power of two with dead (skipped) chunks, so the number
+        of distinct _apply_chunk_run compilations stays bounded.  Cached
+        until the run list changes."""
+        if getattr(self, "_dispatch", None) is not None and \
+                self._dispatch_src == len(self.runs):
+            return self._dispatch
+        merged: List[_Run] = []
+        for run in self.runs:
+            if merged and merged[-1].V.shape[1:] == run.V.shape[1:]:
+                prev = merged[-1]
+                merged[-1] = _Run(
+                    jnp.concatenate([prev.cols, run.cols]),
+                    jnp.concatenate([prev.jpos, run.jpos]),
+                    jnp.concatenate([prev.V, run.V]), prev.k + run.k)
+            else:
+                merged.append(run)
+        out: List[_Run] = []
+        for run in merged:
+            g, Kp, Cp = run.V.shape
+            gp = 1
+            while gp < g:
+                gp <<= 1
+            if gp > g:
+                # dead chunks: all-dead columns -> zero coefficient block
+                # -> lax.cond skips them
+                dcols = jnp.full((gp - g, Cp), self.m, jnp.int64)
+                djpos = jnp.zeros((gp - g, Kp), jnp.int64)
+                dV = jnp.zeros((gp - g, Kp, Cp), jnp.int32)
+                run = _Run(jnp.concatenate([run.cols, dcols]),
+                           jnp.concatenate([run.jpos, djpos]),
+                           jnp.concatenate([run.V, dV]), run.k)
+            out.append(run)
+        self._dispatch = out
+        self._dispatch_src = len(self.runs)
+        return out
+
     def eliminate_device(self, Xd):
         """Device-resident eliminate: Xd (Bp, mp) padded int32 on device;
         returns the updated device array (no host transfers)."""
         self.flush()
-        if not self.chunks:
+        if not self.runs:
             return Xd
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        # fuse consecutive same-bucket chunks into single scan dispatches
-        k = 0
-        nchunks = len(self.chunks)
-        while k < nchunks:
-            shape = self.chunks[k].V.shape
-            k2 = k
-            while k2 < nchunks and self.chunks[k2].V.shape == shape:
-                k2 += 1
-            run = self.chunks[k:k2]
-            if len(run) == 1:
-                ch = run[0]
-                Xd = _apply_chunk(Xd, jnp.asarray(ch.cols),
-                                  jnp.asarray(ch.jpos), ch.V, p64, w,
-                                  self.F.ndigits)
+        for run in self._dispatch_runs():
+            if run.V.shape[0] == 1:
+                Xd = _apply_chunk(Xd, run.cols[0], run.jpos[0], run.V[0],
+                                  p64, w, self.F.ndigits)
             else:
-                cols = jnp.asarray(np.stack([c.cols for c in run]))
-                jpos = jnp.asarray(np.stack([c.jpos for c in run]))
-                V = jnp.stack([c.V for c in run])
-                Xd = _apply_chunk_run(Xd, cols, jpos, V, p64, w,
-                                      self.F.ndigits)
-            k = k2
+                Xd = _apply_chunk_run(Xd, run.cols, run.jpos, run.V, p64,
+                                      w, self.F.ndigits)
         return Xd
 
     def eliminate(self, X: np.ndarray) -> np.ndarray:
@@ -277,7 +329,7 @@ class UEliminator:
         sparse_triangular_solve).
         """
         self.flush()
-        if not self.chunks:
+        if not self.runs:
             return X
         B = X.shape[0]
         Xd = self.eliminate_device(self.pad_block(X))

@@ -66,7 +66,7 @@ def distributed_block_eliminate(mesh: Mesh, X: np.ndarray, eliminator
     """Row-sharded version of UEliminator.eliminate: each device holds a
     slice of the rows of X; chunk bases are replicated."""
     eliminator.flush()
-    if not eliminator.chunks:
+    if not eliminator.runs:
         return X
     from ..dense.elim import _size_bucket
     B, m = X.shape
@@ -81,14 +81,15 @@ def distributed_block_eliminate(mesh: Mesh, X: np.ndarray, eliminator
     Xd = jax.device_put(Xp, NamedSharding(flat_mesh, P("rows", None)))
     p64 = jnp.int64(eliminator.p)
     w = jnp.asarray(eliminator.F.weights)
-    for ch in eliminator.chunks:
-        Xd = _apply_chunk_sharded(
-            Xd, jax.device_put(jnp.asarray(ch.cols),
+    for run in eliminator.runs:
+        for g in range(run.V.shape[0]):
+            Xd = _apply_chunk_sharded(
+                Xd, jax.device_put(run.cols[g],
+                                   NamedSharding(flat_mesh, P())),
+                jax.device_put(run.jpos[g],
                                NamedSharding(flat_mesh, P())),
-            jax.device_put(jnp.asarray(ch.jpos),
-                           NamedSharding(flat_mesh, P())),
-            jax.device_put(ch.V, NamedSharding(flat_mesh, P())),
-            p64, w, eliminator.F.ndigits)
+                jax.device_put(run.V[g], NamedSharding(flat_mesh, P())),
+                p64, w, eliminator.F.ndigits)
     return np.asarray(Xd)[:B, :eliminator.m]
 
 
