@@ -48,6 +48,14 @@ def add_echelonize_args(ap: argparse.ArgumentParser):
     g.add_argument("--max-aspect-ratio", metavar="R", type=float,
                    default=5.0,
                    help="Low-rank mode when #rows/#cols >= R")
+    g = ap.add_argument_group("Fault tolerance")
+    g.add_argument("--checkpoint", metavar="FILE", default=None,
+                   help="Snapshot engine state to FILE after every round "
+                        "and dense block; resume from it if present")
+    g = ap.add_argument_group("Observability")
+    g.add_argument("--profile", metavar="DIR", default=None,
+                   help="Capture a device trace (TensorBoard/Perfetto) of "
+                        "the computation into DIR")
 
 
 def opts_from_args(args) -> EchelonizeOptions:
@@ -63,6 +71,7 @@ def opts_from_args(args) -> EchelonizeOptions:
         dense_block_size=args.dense_block_size,
         low_rank_ratio=args.min_rank_ratio,
         tall_and_skinny_ratio=args.max_aspect_ratio,
+        checkpoint_file=getattr(args, "checkpoint", None),
     )
 
 
@@ -74,6 +83,12 @@ def load_input(args, want_hash: bool = False):
 def load_input_triplet(args, want_hash: bool = False):
     src = args.matrix if args.matrix is not None else sys.stdin.buffer
     return sio.load_triplet(src, args.modulus, want_hash=want_hash)
+
+
+def maybe_trace(args):
+    """Context capturing a device trace when --profile was given."""
+    from ..profiling import maybe_trace as _mt
+    return _mt(getattr(args, "profile", None))
 
 
 def open_output(filename):

@@ -9,7 +9,7 @@ from .. import sio
 from ..echelonize import echelonize
 from ..rref import rref as compute_rref
 from .common import (add_echelonize_args, add_input_args, load_input,
-                     opts_from_args)
+                     opts_from_args, maybe_trace)
 
 
 def main(argv=None):
@@ -25,7 +25,8 @@ def main(argv=None):
     A, _ = load_input(args)
     opts = opts_from_args(args)
     opts.low_rank_start_weight = args.low_rank_start_weight
-    fact = echelonize(A, opts)
+    with maybe_trace(args):
+        fact = echelonize(A, opts)
     if args.rref:
         R, _ = compute_rref(fact)
         sio.save_csr(R, sys.stdout)

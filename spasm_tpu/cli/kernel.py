@@ -8,7 +8,7 @@ from .. import sio
 from ..echelonize import echelonize
 from ..kernel import kernel as compute_kernel
 from .common import (add_echelonize_args, add_input_args,
-                     load_input_triplet, open_output, opts_from_args)
+                     load_input_triplet, open_output, opts_from_args, maybe_trace)
 
 
 def main(argv=None):
@@ -28,7 +28,8 @@ def main(argv=None):
         print("Left-kernel, transposing", file=sys.stderr)
         T.transpose_inplace()
     A = T.tocsr()
-    fact = echelonize(A, opts_from_args(args))
+    with maybe_trace(args):
+        fact = echelonize(A, opts_from_args(args))
     K = compute_kernel(fact)
     print(f"Kernel basis matrix is {K.n} x {K.m} with {K.nnz} nz",
           file=sys.stderr)

@@ -13,7 +13,7 @@ from ..certificate import (certificate_save, factorization_verify,
                            rank_certificate_create, rank_certificate_verify)
 from ..echelonize import echelonize
 from .common import (add_echelonize_args, add_input_args,
-                     load_input_triplet, opts_from_args)
+                     load_input_triplet, maybe_trace, opts_from_args)
 
 
 def main(argv=None):
@@ -41,7 +41,8 @@ def main(argv=None):
     if args.certificate:
         opts.L = True
     t0 = time.time()
-    fact = echelonize(A, opts)
+    with maybe_trace(args):
+        fact = echelonize(A, opts)
     print(f"done in {time.time() - t0:.3f} s rank = {fact.r}",
           file=sys.stderr)
     print(fact.r)

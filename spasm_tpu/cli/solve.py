@@ -9,7 +9,7 @@ from .. import sio
 from ..echelonize import echelonize
 from ..solve import gesv
 from .common import (add_echelonize_args, add_input_args, load_input,
-                     open_output, opts_from_args)
+                     open_output, opts_from_args, maybe_trace)
 
 
 def main(argv=None):
@@ -32,7 +32,8 @@ def main(argv=None):
     opts = opts_from_args(args)
     opts.L = True
     t0 = time.time()
-    fact = echelonize(A, opts)
+    with maybe_trace(args):
+        fact = echelonize(A, opts)
     print(f"echelonization done in {time.time() - t0:.3f} s "
           f"rank = {fact.r}", file=sys.stderr)
     print("Solving XA == B", file=sys.stderr)

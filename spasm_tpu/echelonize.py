@@ -34,6 +34,8 @@ from .schur import (estimate_density, schur_sparse, schur_dense_block,
 from .triangular import sparse_triangular_solve
 from .dense.elim import dense_rref, dense_lu, dense_rank
 from .dense.block import UEliminator
+from . import checkpoint as ckpt
+from .profiling import phase, annotate
 
 log = logging.getLogger("spasm_tpu")
 if not log.handlers:
@@ -63,6 +65,11 @@ class EchelonizeOptions:
     # TPU-build extension (not in the reference): BFS expansion budget for
     # the greedy pivot search; -1 = auto (32 * nnz), 0 = unlimited.
     greedy_work_budget: int = -1
+    # TPU-build extension: mid-engine checkpoint/resume (SURVEY.md §5.4).
+    # When set, the engine snapshots its state to this file after every
+    # round and every dense-finisher block; re-running with the same input
+    # resumes from the snapshot.  The file is removed on completion.
+    checkpoint_file: Optional[str] = None
 
 
 class _LBuilder:
@@ -247,9 +254,10 @@ class _Engine:
         (reference: spasm_pivots_extract_structural, spasm_pivots.c:369-448)
         """
         t0 = time.time()
-        npiv, p, pinv, qinv_loc = find_structural_pivots(
-            S, self.opts.enable_greedy_pivot_search,
-            self.opts.greedy_work_budget)
+        with phase("pivots"):
+            npiv, p, pinv, qinv_loc = find_structural_pivots(
+                S, self.opts.enable_greedy_pivot_search,
+                self.opts.greedy_work_budget)
         F = self.field
         if npiv:
             # vectorized row extraction + batch normalization
@@ -364,6 +372,7 @@ class _Engine:
 
     # -- finishers ---------------------------------------------------------
 
+    @annotate("finish_lowrank")
     def finish_dense_lowrank(self, S: CSR, p: np.ndarray, n: int):
         """Randomized tall-and-skinny finisher
         (echelonize_dense_lowrank, spasm_echelonize.c:315-379)."""
@@ -418,13 +427,14 @@ class _Engine:
         log.info("[lowrank] done in %.1fs, %d new pivots",
                  time.time() - t0, self.U.n - old_un)
 
-    def finish_dense(self, S: CSR, p: np.ndarray, n: int, p_in):
+    @annotate("finish_dense")
+    def finish_dense(self, S: CSR, p: np.ndarray, n: int, p_in,
+                     checkpoint_cb=None, processed: int = 0):
         """Blocked dense finisher (echelonize_dense,
         spasm_echelonize.c:385-463)."""
         opts = self.opts
         t0 = time.time()
         old_un = self.U.n
-        processed = 0
         lowrank_mode = False
         # The reference caps blocks at dense_block_size (1000) for host
         # RAM; on TPU bigger blocks amortize dispatch and keep the MXU
@@ -462,6 +472,8 @@ class _Engine:
                     self.U.add_dense_rows_device(Rd, q, q[pivcols])
             processed += Sn
             log.info("[dense] block of %d rows: %d new pivots", Sn, rr)
+            if checkpoint_cb is not None:
+                checkpoint_cb(processed)
             rank_ub = min(S.n - self.U.n, self.m - self.U.n)
             if opts.enable_tall_and_skinny and rr < opts.low_rank_ratio * Sn:
                 lowrank_mode = True
@@ -473,6 +485,7 @@ class _Engine:
             log.info("[dense] done in %.1fs, %d new pivots",
                      time.time() - t0, self.U.n - old_un)
 
+    @annotate("finish_gplu")
     def finish_gplu(self, S: CSR, p: np.ndarray, n: int, p_in):
         """Sparse Gilbert-Peierls finisher with leftmost pivoting and
         probabilistic early abort (echelonize_GPLU,
@@ -593,53 +606,108 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
     status = 0
     rnd = 0
     density = A.nnz / max(n * m, 1)
-    while rnd < opts.max_round:
-        if S.nnz == 0:
-            status = 1
-            break
-        log.info("[echelonize] round %d", rnd)
-        npiv, p = eng.extract_structural(S, p_in)
-        if npiv < opts.min_pivot_proportion * min(S.n, m - eng.U.n):
-            log.info("[echelonize] not enough pivots found; stopping")
-            status = 2
-            break
-        U_csr = eng.U.snapshot_csr()
-        density = estimate_density(S, p[npiv:], S.n - npiv, U_csr,
-                                   eng.U.qinv, 100)
-        if density > opts.sparsity_threshold:
-            log.info("[echelonize] Schur complement is dense (%.2f%%)",
-                     100 * density)
-            status = 2
-            break
-        fact_view = LU(eng.U.n, U_csr, eng.U.qinv)
-        S2, p_out = schur_sparse(S, p[npiv:], S.n - npiv, fact_view,
-                                 density, eng.L, p_in,
-                                 eliminator=eng.elim)
-        S = S2
-        p_in = p_out
-        npiv = 0
-        p = np.arange(S.n, dtype=np.int64)
-        rnd += 1
 
-    if status == 0:
-        npiv = 0
-        p = np.arange(S.n, dtype=np.int64)
+    # -- checkpoint/resume (TPU-build extension, SURVEY.md §5.4) -----------
+    ckfile = opts.checkpoint_file
+    fp = ckpt.matrix_fingerprint(A) if ckfile else None
+    resume_phase = None
+    dense_processed = 0
+    if ckfile:
+        state = ckpt.load_checkpoint(ckfile, fp, A.prime, opts.L)
+        if state is not None:
+            ckpt.restore_engine(eng, state)
+            S = ckpt.restored_S(state, A.prime)
+            p_in = state.get("p_in")
+            rnd = int(state["rnd"])
+            density = float(state["density"])
+            status = int(state["status"])
+            resume_phase = int(state["phase"])
+            npiv = int(state["npiv"])
+            p = state["p"] if "p" in state \
+                else np.arange(S.n, dtype=np.int64)
+            dense_processed = int(state["processed"])
+            log.info("[checkpoint] resumed from %s: phase=%d rnd=%d "
+                     "rank=%d", ckfile, resume_phase, rnd, eng.U.n)
+
+    in_finisher = resume_phase in (ckpt.PHASE_FINISH, ckpt.PHASE_DENSE)
+    if not in_finisher:
+        while rnd < opts.max_round:
+            if S.nnz == 0:
+                status = 1
+                break
+            log.info("[echelonize] round %d", rnd)
+            npiv, p = eng.extract_structural(S, p_in)
+            if npiv < opts.min_pivot_proportion * min(S.n, m - eng.U.n):
+                log.info("[echelonize] not enough pivots found; stopping")
+                status = 2
+                break
+            U_csr = eng.U.snapshot_csr()
+            with phase("density_estimate"):
+                density = estimate_density(S, p[npiv:], S.n - npiv, U_csr,
+                                           eng.U.qinv, 100)
+            if density > opts.sparsity_threshold:
+                log.info("[echelonize] Schur complement is dense (%.2f%%)",
+                         100 * density)
+                status = 2
+                break
+            fact_view = LU(eng.U.n, U_csr, eng.U.qinv)
+            with phase("schur_sparse"):
+                S2, p_out = schur_sparse(S, p[npiv:], S.n - npiv,
+                                         fact_view, density, eng.L, p_in,
+                                         eliminator=eng.elim)
+            S = S2
+            p_in = p_out
+            npiv = 0
+            p = np.arange(S.n, dtype=np.int64)
+            rnd += 1
+            if ckfile:
+                ckpt.save_checkpoint(ckfile, fingerprint=fp, engine=eng,
+                                     S=S, p_in=p_in, rnd=rnd,
+                                     phase=ckpt.PHASE_ROUND,
+                                     density=density)
+
+        if status == 0:
+            npiv = 0
+            p = np.arange(S.n, dtype=np.int64)
 
     if status != 1:
         nrem = S.n - npiv
+        if ckfile and not in_finisher:
+            ckpt.save_checkpoint(ckfile, fingerprint=fp, engine=eng, S=S,
+                                 p_in=p_in, rnd=rnd,
+                                 phase=ckpt.PHASE_FINISH, p=p, npiv=npiv,
+                                 density=density, status=status)
+
+        def dense_cb(processed):
+            ckpt.save_checkpoint(ckfile, fingerprint=fp, engine=eng, S=S,
+                                 p_in=p_in, rnd=rnd,
+                                 phase=ckpt.PHASE_DENSE, p=p, npiv=npiv,
+                                 density=density, status=status,
+                                 processed=processed)
+
+        cb = dense_cb if ckfile else None
         aspect = nrem / max(m - eng.U.n, 1)
         log.info("[echelonize] finishing; density=%.3f aspect=%.1f",
                  density, aspect)
-        if (opts.enable_tall_and_skinny
+        if resume_phase == ckpt.PHASE_DENSE:
+            # re-enter the blocked dense finisher where it left off
+            eng.finish_dense(S, p[npiv:], nrem, p_in, checkpoint_cb=cb,
+                             processed=dense_processed)
+        elif (opts.enable_tall_and_skinny
                 and aspect > opts.tall_and_skinny_ratio):
             eng.finish_dense_lowrank(S, p[npiv:], nrem)
         elif opts.enable_dense and density > opts.sparsity_threshold:
-            eng.finish_dense(S, p[npiv:], nrem, p_in)
+            eng.finish_dense(S, p[npiv:], nrem, p_in, checkpoint_cb=cb)
         elif opts.enable_GPLU:
             eng.finish_gplu(S, p[npiv:], nrem, p_in)
         else:
             log.info("[echelonize] no finisher enabled; "
                      "incomplete echelonization returned")
+
+    if ckfile:
+        import os
+        if os.path.exists(ckfile):
+            os.unlink(ckfile)
 
     # U materializes lazily: rank-only consumers (tools/rank) never pay
     # the matrix-sized device->host transfer of the basis
