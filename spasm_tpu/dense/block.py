@@ -88,6 +88,35 @@ def _compose_chunk_batch(Ud, W, p, weights, d: int):
     return jax.vmap(one)(Ud, W)
 
 
+@functools.partial(jax.jit, static_argnames=("d", "kp", "cp"))
+def _compose_chunk_batch_entries(rowrep, posidx, vals, jpos, p, weights,
+                                 d: int, kp: int, cp: int):
+    """Sparse-input chunk composition: scatter the chunk rows' entries
+    into the densified (g, kp, cp) chunk ON DEVICE, then compose.
+
+    Only the nnz of the chunk crosses host->device (the tunnel's H2D
+    bandwidth is the scarcest resource), not the kp*cp dense block.
+    Padded entries carry value 0 at a dead slot (scatter-add is inert).
+    W is gathered on device: W[l, t] = Ud[l, jpos[t]] strictly above the
+    diagonal (the intra-chunk corrections; pivots are unit by
+    convention).
+    """
+    g = rowrep.shape[0]
+    gi = jnp.arange(g)[:, None]
+    Ud = jnp.zeros((g, kp, cp), jnp.int32)
+    Ud = Ud.at[gi, rowrep, posidx].add(vals)
+    idx = jnp.broadcast_to(jpos[:, None, :], (g, kp, kp))
+    W = jnp.take_along_axis(Ud, idx, axis=2)          # (g, kp, kp)
+    tri = jnp.triu(jnp.ones((kp, kp), bool), 1)
+    W = jnp.where(tri[None], W, 0)
+
+    def one(u, w):
+        Winv = _unit_upper_inverse_log(w, p, weights, d)
+        return matmul_digits(Winv, u, p, weights, d)
+
+    return jax.vmap(one)(Ud, W)
+
+
 @functools.partial(jax.jit, static_argnames=("d",))
 def _apply_chunk(X, cols, jpos, V, p, weights, d: int):
     """One chunk update on a dense block X (B, m)."""
@@ -182,31 +211,39 @@ class UEliminator:
                 take //= 2
             batches.append(stage[i:i + take])
             i += take
-        prepped = [self._prep(b) for b in batches]
+        prepped = [self._prep_entries(b) for b in batches]
         # one vmapped composition dispatch per group of same-shape chunks
-        # (order preserved: only consecutive chunks group together)
+        # (order preserved: only consecutive chunks group together); only
+        # sparse entries cross host->device, densification is on device
         j = 0
         while j < len(prepped):
-            shape = prepped[j][0].shape
+            shape = (prepped[j][0].shape, len(prepped[j][3]),
+                     len(prepped[j][4]))
             j2 = j
-            while j2 < len(prepped) and prepped[j2][0].shape == shape:
+            while j2 < len(prepped) and (prepped[j2][0].shape,
+                                         len(prepped[j2][3]),
+                                         len(prepped[j2][4])) == shape:
                 j2 += 1
             group = prepped[j:j2]
-            Ud = np.stack([g[0] for g in group])
-            Wp = np.stack([g[1] for g in group])
-            V = _compose_chunk_batch(jnp.asarray(Ud), jnp.asarray(Wp),
-                                     jnp.int64(self.p),
-                                     jnp.asarray(self.F.weights),
-                                     self.F.ndigits)
-            cols = jnp.asarray(np.stack([g[2] for g in group]))
+            rowrep = jnp.asarray(np.stack([g[0] for g in group]))
+            posidx = jnp.asarray(np.stack([g[1] for g in group]))
+            vals = jnp.asarray(np.stack([g[2] for g in group]))
             jpos = jnp.asarray(np.stack([g[3] for g in group]))
-            nreal = sum(g[4] for g in group)
+            kp = group[0][3].size
+            cp = group[0][4].size
+            V = _compose_chunk_batch_entries(
+                rowrep, posidx, vals, jpos, jnp.int64(self.p),
+                jnp.asarray(self.F.weights), self.F.ndigits, kp, cp)
+            cols = jnp.asarray(np.stack([g[4] for g in group]))
+            nreal = sum(g[5] for g in group)
             self.runs.append(_Run(cols, jpos, V, nreal))
             j = j2
 
-    def _prep(self, batch):
-        """Host prep of one chunk: densify on the union support, pad to
-        buckets.  Returns (Ud (Kp,Cp), Wp (Kp,Kp), colsp, jp, K)."""
+    def _prep_entries(self, batch):
+        """Host prep of one chunk: union support + flat sparse entries,
+        padded to buckets.  Returns (rowrep (Ep,), posidx (Ep,),
+        vals (Ep,), jp (Kp,), colsp (Cp,), K).  Densification happens on
+        device (_compose_chunk_batch_entries)."""
         K = len(batch)
         union = np.unique(np.concatenate([c for c, _, _ in batch]))
         pivcols = np.asarray([pc for _, _, pc in batch], np.int64)
@@ -214,13 +251,17 @@ class UEliminator:
         # always leave at least one padded (dead) column so padded pivot
         # slots never clamp onto a real column
         Cp = _bucket(union.size + 1)
-        Ud = np.zeros((Kp, Cp), np.int32)
-        for k, (c, v, _) in enumerate(batch):
-            Ud[k, np.searchsorted(union, c)] = v
+        lens = np.asarray([c.size for c, _, _ in batch], np.int64)
+        E = int(lens.sum())
+        Ep = _bucket(E)
+        rowrep = np.zeros(Ep, np.int32)
+        posidx = np.full(Ep, Cp - 1, np.int32)      # dead slot for padding
+        vals = np.zeros(Ep, np.int32)
+        rowrep[:E] = np.repeat(np.arange(K, dtype=np.int32), lens)
+        posidx[:E] = np.searchsorted(
+            union, np.concatenate([c for c, _, _ in batch])).astype(np.int32)
+        vals[:E] = np.concatenate([v for _, v, _ in batch]).astype(np.int32)
         jpos = np.searchsorted(union, pivcols)
-        # W[l, k] = U[l, j_k] for l < k (strictly upper)
-        Wp = np.zeros((Kp, Kp), np.int32)
-        Wp[:K, :K] = np.triu(Ud[:K, jpos], 1)
         # padded pivot slots point at padded (zero) columns
         jp = np.full(Kp, 0, np.int64)
         jp[:K] = jpos
@@ -228,7 +269,7 @@ class UEliminator:
             jp[K:] = union.size + np.arange(Kp - K) % (Cp - union.size)
         colsp = np.full(Cp, self.m, np.int64)     # padded cols -> dead col m
         colsp[:union.size] = union
-        return Ud, Wp, colsp, jp, K
+        return rowrep, posidx, vals, jp, colsp, K
 
     def append_device_chunk(self, V, cols: np.ndarray, jpos: np.ndarray):
         """Register an already-composed chunk resident on device.

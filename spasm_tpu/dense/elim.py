@@ -356,13 +356,16 @@ def _eliminate(S, p, weights, d: int, rref: bool, nb: int = _NB,
 
 
 def _size_bucket(x: int, quantum: int) -> int:
-    """Round up to a power of two (<= 4096) or to a multiple of 512.
+    """Round up to a power of two (<= 1024) or to a multiple of 512.
 
     Zero padding is algebraically inert here (no pivots from zero
-    rows/columns); bucketing bounds the number of jit variants.
+    rows/columns); bucketing bounds the number of jit variants.  The
+    power-of-two ladder stops at 1024: above that, coarser buckets waste
+    cubic work in the elimination (e.g. 2304 -> 4096 would triple the
+    FLOPs) while multiples of 512 add at most ~2 variants per doubling.
     """
     x = max(x, quantum)
-    if x <= 4096:
+    if x <= 1024:
         b = quantum
         while b < x:
             b <<= 1

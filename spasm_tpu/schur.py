@@ -111,14 +111,17 @@ def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
         # and transfers dominate and the batched native solver wins
         use_device = n * m >= _DEVICE_THRESHOLD and m <= (1 << 16)
     if use_device and eliminator is not None and eliminator.nrows > 0:
+        from .dense.elim import _size_bucket
+        Bp = _size_bucket(block_size, 8)
+        mp = _size_bucket(m + 1, 64)
+        piv_mask = qinv >= 0
         for b0 in range(0, n, block_size):
             idx = p[b0:b0 + block_size].astype(np.int64)
-            X = _block_rows_dense(A, idx)
-            if X.shape[0] < block_size:
-                X = np.pad(X, ((0, block_size - X.shape[0]), (0, 0)))
-            X = eliminator.eliminate(X)
-            X = X[:len(idx)]
-            piv_mask = qinv >= 0
+            # densify + eliminate on device; only the block's sparse
+            # entries go up and the eliminated block comes down
+            Xd = _block_rows_device(A, idx, Bp, mp)
+            Xd = eliminator.eliminate_device(Xd)
+            X = np.asarray(Xd[:len(idx), :m])
             for k, i in enumerate(idx):
                 iorig = int(p_in[i]) if p_in is not None else int(i)
                 p_out[b0 + k] = iorig
