@@ -26,7 +26,7 @@ from .hashing import sha256_new
 
 log = logging.getLogger("spasm_tpu")
 
-_VERSION = 1
+_VERSION = 2
 
 # phases a checkpoint may snapshot
 PHASE_ROUND = 0      # between rounds of the main loop
@@ -83,6 +83,7 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
         prime=np.int64(eng.prime),
         m=np.int64(eng.m),
         want_L=np.int64(0 if eng.L is None else 1),
+        complete=np.int64(1 if eng.opts.complete else 0),
         phase=np.int64(phase),
         rnd=np.int64(rnd),
         status=np.int64(status),
@@ -108,10 +109,11 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
                              if l_cols else np.empty(0, np.int64))
         payload["l_vals"] = (np.concatenate(l_vals).astype(np.int64)
                              if l_vals else np.empty(0, np.int64))
-    d = os.path.dirname(os.path.abspath(path))
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ck.tmp")
+    # fixed tmp name: a SIGKILL mid-save leaves at most ONE orphan, which
+    # the next save (or load_checkpoint's cleanup) overwrites/removes
+    tmp = os.path.abspath(path) + ".ck.tmp"
     try:
-        with os.fdopen(fd, "wb") as f:
+        with open(tmp, "wb") as f:
             np.savez_compressed(f, **payload)
         os.replace(tmp, path)
     except BaseException:
@@ -123,26 +125,42 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
 
 
 def load_checkpoint(path: str, fingerprint: bytes, prime: int,
-                    want_L: bool) -> Optional[dict]:
-    """Load and validate a checkpoint; None if absent or incompatible."""
+                    want_L: bool, complete: bool = False) -> Optional[dict]:
+    """Load and validate a checkpoint; None if absent or incompatible.
+
+    Also removes a stale '<path>.ck.tmp' orphan left by a preemption that
+    struck mid-save.
+    """
+    stale = os.path.abspath(path) + ".ck.tmp"
+    if os.path.exists(stale):
+        try:
+            os.unlink(stale)
+        except OSError:                             # pragma: no cover
+            pass
     if not os.path.exists(path):
         return None
     try:
-        z = np.load(path)
+        with np.load(path) as z:
+            if int(z["version"]) != _VERSION:
+                log.warning("[checkpoint] version mismatch in %s; ignoring",
+                            path)
+                return None
+            # `complete` changes what L must contain (rollback-filtered vs
+            # full); resuming across that flag would silently produce an
+            # L with missing entries — reject like the prime/want_L checks
+            if bytes(z["fingerprint"].tobytes()) != fingerprint \
+                    or int(z["prime"]) != prime \
+                    or bool(int(z["want_L"])) != want_L \
+                    or bool(int(z["complete"])) != complete:
+                log.warning("[checkpoint] %s does not match this "
+                            "input/options; ignoring", path)
+                return None
+            state = {k: z[k] for k in z.files}
     except Exception as e:                      # corrupt snapshot: ignore
         log.warning("[checkpoint] unreadable %s (%s); ignoring", path, e)
         return None
-    if int(z["version"]) != _VERSION:
-        log.warning("[checkpoint] version mismatch in %s; ignoring", path)
-        return None
-    if bytes(z["fingerprint"].tobytes()) != fingerprint \
-            or int(z["prime"]) != prime \
-            or bool(int(z["want_L"])) != want_L:
-        log.warning("[checkpoint] %s does not match this input/options; "
-                    "ignoring", path)
-        return None
-    state = {k: z[k] for k in z.files}
-    state["rows"] = _unpack_rows(z["u_cols"], z["u_vals"], z["u_offs"])
+    state["rows"] = _unpack_rows(state["u_cols"], state["u_vals"],
+                                 state["u_offs"])
     return state
 
 

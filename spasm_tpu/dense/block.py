@@ -71,23 +71,6 @@ def _unit_upper_inverse_log(W, p, weights, d: int):
     return S
 
 
-@functools.partial(jax.jit, static_argnames=("d",))
-def _compose_chunk(Udense, W, p, weights, d: int):
-    """V = (I + W)^-1 @ Udense (mod p)."""
-    Winv = _unit_upper_inverse_log(W.astype(jnp.int32), p, weights, d)
-    return matmul_digits(Winv, Udense, p, weights, d)
-
-
-@functools.partial(jax.jit, static_argnames=("d",))
-def _compose_chunk_batch(Ud, W, p, weights, d: int):
-    """vmapped composition: Ud (g, K, C), W (g, K, K) -> V (g, K, C).
-    One dispatch composes a whole group of same-shape chunks."""
-    def one(u, w):
-        Winv = _unit_upper_inverse_log(w.astype(jnp.int32), p, weights, d)
-        return matmul_digits(Winv, u, p, weights, d)
-    return jax.vmap(one)(Ud, W)
-
-
 @functools.partial(jax.jit, static_argnames=("d", "kp", "cp"))
 def _compose_chunk_batch_entries(rowrep, posidx, vals, jpos, p, weights,
                                  d: int, kp: int, cp: int):

@@ -70,6 +70,10 @@ class EchelonizeOptions:
     # round and every dense-finisher block; re-running with the same input
     # resumes from the snapshot.  The file is removed on completion.
     checkpoint_file: Optional[str] = None
+    # Minimum seconds between dense-finisher snapshots (each save repacks
+    # U + S, O(nnz); unthrottled per-block saves can dominate the
+    # finisher).  Round-boundary snapshots are never throttled.
+    checkpoint_interval_s: float = 30.0
 
 
 class _LBuilder:
@@ -613,7 +617,8 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
     resume_phase = None
     dense_processed = 0
     if ckfile:
-        state = ckpt.load_checkpoint(ckfile, fp, A.prime, opts.L)
+        state = ckpt.load_checkpoint(ckfile, fp, A.prime, opts.L,
+                                     opts.complete)
         if state is not None:
             ckpt.restore_engine(eng, state)
             S = ckpt.restored_S(state, A.prime)
@@ -678,12 +683,20 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                                  phase=ckpt.PHASE_FINISH, p=p, npiv=npiv,
                                  density=density, status=status)
 
+        # snapshotting repacks U + S (O(nnz)); per-block that can dominate
+        # the finisher, so throttle to one save per interval (the last
+        # finished block is re-done on resume — bounded, not quadratic)
+        last_save = [time.time()]
+
         def dense_cb(processed):
+            if time.time() - last_save[0] < opts.checkpoint_interval_s:
+                return
             ckpt.save_checkpoint(ckfile, fingerprint=fp, engine=eng, S=S,
                                  p_in=p_in, rnd=rnd,
                                  phase=ckpt.PHASE_DENSE, p=p, npiv=npiv,
                                  density=density, status=status,
                                  processed=processed)
+            last_save[0] = time.time()
 
         cb = dense_cb if ckfile else None
         aspect = nrem / max(m - eng.U.n, 1)

@@ -70,7 +70,7 @@ def _load():
     lib.spasm_solve_batch.argtypes = [
         I64, I32, I32, ctypes.c_int32, ctypes.c_int32,
         I64, I32, I32, ctypes.c_int32,
-        I64, ctypes.c_int64, I64, ctypes.c_int64, ctypes.c_int32]
+        I64, ctypes.c_int64, I64, ctypes.c_int64, ctypes.c_int32, I64]
     lib.spasm_solve_fetch.argtypes = [I64, I32, I32]
     lib.spasm_cycle_free_pivots.restype = ctypes.c_int64
     lib.spasm_cycle_free_pivots.argtypes = [
@@ -119,19 +119,22 @@ def _arr32(a) -> np.ndarray:
     return a if a.size else _EMPTY32
 
 
-def solve_batch(U, B, rows, qinv, prime: int,
-                nthreads: int = 0) -> List[Tuple[np.ndarray, np.ndarray]]:
+def solve_batch(U, B, rows, qinv, prime: int, nthreads: int = 0,
+                mask_cols=None) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Batched x*U = B[row] solves.  Returns [(cols, vals)] per row with
     coefficients on pivotal columns and the Schur residue elsewhere,
-    column-sorted."""
+    column-sorted.  mask_cols (optional, per row): one column treated as
+    non-pivotal during that row's solve (-1 = none) — lets RREF mask each
+    row's own pivot while solving all rows in ONE parallel batch."""
     rows = _arr64(rows)
-    nrows = len(rows) if np.asarray(rows).ndim else 0
+    mc = _arr64(mask_cols) if mask_cols is not None else None
     total = _lib.spasm_solve_batch(
         _p64(_arr64(U.indptr)), _p32(_arr32(U.indices)),
         _p32(_arr32(U.data)), U.n, U.m,
         _p64(_arr64(B.indptr)), _p32(_arr32(B.indices)),
         _p32(_arr32(B.data)), B.n,
-        _p64(rows), len(rows), _p64(_arr64(qinv)), prime, nthreads)
+        _p64(rows), len(rows), _p64(_arr64(qinv)), prime, nthreads,
+        _p64(mc) if mc is not None else None)
     lens = np.empty(max(len(rows), 1), np.int64)
     cols = np.empty(max(total, 1), np.int32)
     vals = np.empty(max(total, 1), np.int32)

@@ -104,8 +104,10 @@ struct SolveScratch {
 
 // Reachability of B-row pattern through the pivot graph of U.
 // Appends reached columns to ws.order in topological order.
+// mask_col (>= 0) is treated as non-pivotal for this row — used by RREF
+// to exclude a row's own pivot from its re-elimination.
 void reach_row(const CsrView &U, const i32 *bcols, i64 bn,
-               const i64 *qinv, SolveScratch &ws) {
+               const i64 *qinv, SolveScratch &ws, i64 mask_col = -1) {
     ws.order.clear();
     auto &stack = ws.stack;
     auto &pos = ws.pos;
@@ -118,7 +120,7 @@ void reach_row(const CsrView &U, const i32 *bcols, i64 bn,
         ws.seen[root] = 1;
         while (head >= 0) {
             i32 j = stack[head];
-            i64 r = qinv[j];
+            i64 r = (j == mask_col) ? -1 : qinv[j];
             if (r < 0) {
                 ws.order.push_back(j);
                 --head;
@@ -152,10 +154,11 @@ void reach_row(const CsrView &U, const i32 *bcols, i64 bn,
 // Numeric phase: x * U = B[row].  On return ws.x holds coefficients on
 // pivotal columns and the residue elsewhere; ws.order is the pattern.
 void solve_row(const CsrView &U, const CsrView &B, i64 row,
-               const i64 *qinv, i64 prime, SolveScratch &ws) {
+               const i64 *qinv, i64 prime, SolveScratch &ws,
+               i64 mask_col = -1) {
     const FieldZp F(prime);
     const i64 blo = B.ptr[row], bhi = B.ptr[row + 1];
-    reach_row(U, B.idx + blo, bhi - blo, qinv, ws);
+    reach_row(U, B.idx + blo, bhi - blo, qinv, ws, mask_col);
     for (i32 j : ws.order) ws.x[j] = 0;
     for (i64 t = blo; t < bhi; ++t)
         ws.x[B.idx[t]] = B.val ? B.val[t] : 1;
@@ -163,7 +166,7 @@ void solve_row(const CsrView &U, const CsrView &B, i64 row,
         ws.seen[j] = 0;                 // self-cleaning marks
         i64 xj = ws.x[j];
         if (xj == 0) continue;
-        i64 r = qinv[j];
+        i64 r = (j == mask_col) ? -1 : qinv[j];
         if (r < 0) continue;
         // unit pivot at (r, j): x -= x[j] * U[r]
         for (i64 t = U.ptr[r]; t < U.ptr[r + 1]; ++t) {
@@ -182,11 +185,15 @@ extern "C" {
 // and stage the nonzero result entries (column-sorted).  Parallel over
 // rows; results assembled in input order (deterministic).
 // Returns the total number of staged entries.
+// mask_cols (nullable): per solved row, one column treated as
+// non-pivotal during that row's solve (RREF's "mask own pivot",
+// cf. /root/reference/src/spasm_rref.c:51-59), -1 = none.
 i64 spasm_solve_batch(const i64 *Up, const i32 *Uj, const i32 *Ux,
                       i32 un, i32 m,
                       const i64 *Bp, const i32 *Bj, const i32 *Bx, i32 bn,
                       const i64 *rows, i64 nrows,
-                      const i64 *qinv, i64 prime, i32 nthreads) {
+                      const i64 *qinv, i64 prime, i32 nthreads,
+                      const i64 *mask_cols) {
     CsrView U{Up, Uj, Ux, un, m};
     CsrView B{Bp, Bj, Bx, bn, m};
     g_solve.clear();
@@ -203,7 +210,8 @@ i64 spasm_solve_batch(const i64 *Up, const i32 *Uj, const i32 *Ux,
 #pragma omp for schedule(dynamic, 16)
 #endif
         for (i64 k = 0; k < nrows; ++k) {
-            solve_row(U, B, rows[k], qinv, prime, ws);
+            solve_row(U, B, rows[k], qinv, prime, ws,
+                      mask_cols ? mask_cols[k] : -1);
             std::sort(ws.order.begin(), ws.order.end());
             auto &ck = cols[k];
             auto &vk = vals[k];

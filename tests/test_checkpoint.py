@@ -59,7 +59,8 @@ def test_resume_after_preemption(tmp_path, monkeypatch, after):
 
     ckfile = str(tmp_path / "state.ck")
     opts = EchelonizeOptions(checkpoint_file=ckfile,
-                             dense_block_size=64)
+                             dense_block_size=64,
+                             checkpoint_interval_s=0.0)
     count = _preempting_save(monkeypatch, after)
     with pytest.raises(_Preempt):
         echelonize(A.copy(), opts)
@@ -84,7 +85,8 @@ def test_resume_with_L(tmp_path, monkeypatch, matrix_dir):
 
     ckfile = str(tmp_path / "state.ck")
     opts = EchelonizeOptions(L=True, complete=True, checkpoint_file=ckfile,
-                             dense_block_size=32)
+                             dense_block_size=32,
+                             checkpoint_interval_s=0.0)
     _preempting_save(monkeypatch, 1)
     with pytest.raises(_Preempt):
         echelonize(A.copy(), opts)
@@ -145,6 +147,13 @@ def test_checkpoint_roundtrip_state(tmp_path, matrix_dir):
     assert np.array_equal(U1.data, U2.data)
     S2 = ckpt.restored_S(state, p)
     assert S2.n == A.n and S2.m == A.m and S2.nnz == A.nnz
-    # wrong prime / wrong fingerprint are refused
+    # wrong prime / wrong fingerprint / wrong `complete` are refused
     assert ckpt.load_checkpoint(path, fp, 65537, False) is None
     assert ckpt.load_checkpoint(path, b"\0" * 32, p, False) is None
+    assert ckpt.load_checkpoint(path, fp, p, False, complete=True) is None
+    # a stale mid-save orphan is cleaned up on load
+    orphan = path + ".ck.tmp"
+    open(orphan, "wb").write(b"partial")
+    assert ckpt.load_checkpoint(path, fp, p, False) is not None
+    import os
+    assert not os.path.exists(orphan)
