@@ -35,28 +35,66 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (CPU backend only).
+    """Persistent XLA compile cache (all backends).
 
-    The elimination kernels are heavy programs and this host compiles
-    slowly, so caching across processes matters for the test-suite.  On
-    the tunneled TPU platform ("axon") deserialized executables hang at
-    execution time, so the cache must stay off there.
+    The elimination kernels are heavy programs (minutes of XLA compile
+    per shape bucket, measured on the TPU backend), so caching compiled
+    executables across processes is essential: CLI tools and fresh
+    benchmark runs would otherwise pay the full cold-compile cost every
+    time.  Disable with SPASM_TPU_XLA_CACHE=0.
     """
-    platforms = _jax.config.jax_platforms or _os.environ.get(
-        "JAX_PLATFORMS", "")
-    if "cpu" not in platforms:
-        return
     cache = _os.environ.get("SPASM_TPU_XLA_CACHE",
                             _os.path.expanduser("~/.cache/spasm_tpu_xla"))
+    if cache == "0":
+        return
     try:
         _os.makedirs(cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:                                # pragma: no cover
         pass
 
 
 _enable_compile_cache()
+
+
+_WARMUP_THREAD = None
+
+
+def warm_device_async():
+    """Prime the device->host transfer channel in the background.
+
+    On tunneled TPU deployments the FIRST device->host transfer of a
+    process can pay a one-time channel handshake (measured: up to 230 s,
+    independent of payload size; subsequent transfers run at full
+    bandwidth).  The handshake blocks the *device* queue but not host
+    work, so device-bound entry points (CLI tools, bench) call this
+    before loading their input to overlap it with host-side parsing and
+    the structural pivot search.  An atexit join prevents interpreter
+    teardown while the handshake thread is mid-flight (for callers that
+    end up never touching the device).  Idempotent; no-op with
+    SPASM_TPU_NO_WARMUP=1.
+    """
+    global _WARMUP_THREAD
+    if _WARMUP_THREAD is not None or _os.environ.get("SPASM_TPU_NO_WARMUP"):
+        return _WARMUP_THREAD
+
+    def _go():                                       # pragma: no cover
+        try:
+            import numpy as _np
+            import jax.numpy as _jnp
+            _np.asarray(_jnp.zeros(8, _jnp.int32))
+        except Exception:
+            pass
+
+    import atexit
+    import threading
+    _WARMUP_THREAD = threading.Thread(target=_go, daemon=True,
+                                      name="spasm-tpu-warmup")
+    _WARMUP_THREAD.start()
+    atexit.register(_WARMUP_THREAD.join)
+    return _WARMUP_THREAD
+
 
 __version__ = "0.1.0"
 

@@ -23,6 +23,10 @@ def main(argv=None):
     g.add_argument("--output", "-o", metavar="FILE", default=None,
                    help="Write the kernel basis in FILE")
     args = ap.parse_args(argv)
+    # start the device transfer-channel handshake now; it overlaps with
+    # input parsing + the host-side pivot search (see warm_device_async)
+    from .. import warm_device_async
+    warm_device_async()
     T, _ = load_input_triplet(args)
     if args.left:
         print("Left-kernel, transposing", file=sys.stderr)

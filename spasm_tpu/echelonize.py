@@ -198,6 +198,62 @@ class _UBuilder:
         return sum(c.size for c, _ in self.rows)
 
 
+class _GrowingCSR:
+    """Append-only CSR view with capacity doubling.
+
+    The GPLU finisher solves each chunk against the *current* U; repacking
+    U with CSR.from_rows per chunk costs O(nnz(U)) every time — quadratic
+    over the run.  This buffer appends new rows in amortized O(row nnz)
+    and exposes trimmed views compatible with the native solver.
+    """
+
+    def __init__(self, base: CSR):
+        self.n = base.n
+        self.m = base.m
+        self.prime = base.prime
+        nnz = base.nnz
+        cap_r = max(2 * base.n + 8, 64)
+        cap_e = max(2 * nnz + 64, 256)
+        self._indptr = np.zeros(cap_r + 1, np.int64)
+        self._indptr[:base.n + 1] = base.indptr[:base.n + 1]
+        self._indices = np.empty(cap_e, np.int32)
+        self._indices[:nnz] = base.indices[:nnz]
+        self._data = np.empty(cap_e, np.int32)
+        self._data[:nnz] = base.data[:nnz]
+        self._nnz = nnz
+
+    @property
+    def indptr(self) -> np.ndarray:
+        return self._indptr[:self.n + 1]
+
+    @property
+    def indices(self) -> np.ndarray:
+        return self._indices[:self._nnz]
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._data[:self._nnz]
+
+    def append_row(self, cols: np.ndarray, vals: np.ndarray):
+        k = len(cols)
+        if self._nnz + k > self._indices.size:
+            cap = max(2 * self._indices.size, self._nnz + k)
+            for name in ("_indices", "_data"):
+                old = getattr(self, name)
+                new = np.empty(cap, np.int32)
+                new[:self._nnz] = old[:self._nnz]
+                setattr(self, name, new)
+        if self.n + 2 > self._indptr.size:
+            new = np.zeros(2 * self._indptr.size, np.int64)
+            new[:self.n + 1] = self._indptr[:self.n + 1]
+            self._indptr = new
+        self._indices[self._nnz:self._nnz + k] = cols
+        self._data[self._nnz:self._nnz + k] = vals
+        self._nnz += k
+        self.n += 1
+        self._indptr[self.n] = self._nnz
+
+
 class LU:
     """Result object (the reference's struct spasm_lu, spasm.h:64-72).
 
@@ -501,10 +557,14 @@ class _Engine:
 
     def _finish_gplu_native(self, S: CSR, p: np.ndarray, n: int, p_in,
                             chunk: int = 8192):
+        from . import native
         want_L = self.L is not None
         k = 0
         t0 = time.time()
         old_un = self.U.n
+        # ONE snapshot; new pivot rows append in amortized O(nnz) instead
+        # of an O(nnz(U)) repack per chunk (quadratic over the run)
+        Ug = _GrowingCSR(self.U.snapshot_csr())
         while k < n:
             rows = np.asarray(p[k:k + chunk], np.int64)
             row_origin = (np.asarray(p_in, np.int64)[rows]
@@ -514,14 +574,14 @@ class _Engine:
             max_piv = n if want_L else min(n - k, self.m - self.U.n)
             if max_piv <= 0 and not want_L:
                 break
-            U0 = self.U.snapshot_csr()
             npiv, urows, (li, lj, lx), piv_origin = native.gplu(
-                S, rows, row_origin, U0, self.U.qinv, self.prime,
+                S, rows, row_origin, Ug, self.U.qinv, self.prime,
                 want_L, max(max_piv, 1))
             stage = []
             for cols, vals in urows:
                 self.U.rows.append((cols, vals))
                 self.U.pivcol.append(int(cols[0]))
+                Ug.append_row(cols, vals)
                 stage.append((cols.astype(np.int64), vals, int(cols[0])))
             self.elim.append_rows(stage, flush=False)
             if want_L and li.size:

@@ -12,7 +12,7 @@ from spasm_tpu.triangular import sparse_triangular_solve
 from spasm_tpu.pivots import find_structural_pivots
 from spasm_tpu.schur import schur_sparse, estimate_density
 from spasm_tpu.echelonize import LU
-from tests.conftest import ALL_TEST_MATRICES, SMALL_MODULI
+from tests.conftest import ALL_TEST_MATRICES, ALL_MODULI, SMALL_MODULI
 
 FAST = ["singular.sms", "small.sms", "m1.sms", "upper_trapeze.sms",
         "lower_trapeze.sms", "rectangular_h.sms", "rectangular_l.sms",
@@ -44,7 +44,9 @@ def inclusion_check(A, U, qinv):
         assert bad.size == 0, f"row {i} of A not in rowspan(U)"
 
 
-@pytest.mark.parametrize("p", SMALL_MODULI)
+# full reference modulus grid (tests/CMakeLists.txt:46-53): every digit
+# tier of the device arithmetic (d=2/3/4) runs through the whole engine
+@pytest.mark.parametrize("p", ALL_MODULI)
 @pytest.mark.parametrize("name", FAST)
 def test_echelonize_properties(matrix_dir, name, p):
     A, _ = sio.load_csr(matrix_dir / name, p)
@@ -53,15 +55,6 @@ def test_echelonize_properties(matrix_dir, name, p):
     assert U.m == A.m and U.n <= A.n and U.n <= U.m
     qinv = echelon_form_check(U, fact.qinv)
     inclusion_check(A, U, qinv)
-
-
-@pytest.mark.parametrize("p", [4294967291])
-@pytest.mark.parametrize("name", ["singular.sms", "m1.sms", "G2.sms"])
-def test_echelonize_biggest_prime(matrix_dir, name, p):
-    A, _ = sio.load_csr(matrix_dir / name, p)
-    fact = echelonize(A)
-    qinv = echelon_form_check(fact.U, fact.qinv)
-    inclusion_check(A, fact.U, qinv)
 
 
 @pytest.mark.parametrize("name", ["medium.sms", "mat364.sms",
@@ -86,6 +79,34 @@ def test_rref_properties(matrix_dir):
         assert np.all(Rqinv[cols[1:]] < 0)
     qinv = echelon_form_check(R)
     inclusion_check(A, R, qinv)
+
+
+@pytest.mark.parametrize("name", ["trefethen_500.sms", "singular.sms",
+                                  "mat364.sms"])
+def test_gplu_finisher(matrix_dir, name):
+    """Force the sparse GPLU finisher (dense + low-rank disabled) and
+    check the result matches the default engine's rank + properties.
+    Exercises the native chunked path with the incremental U buffer."""
+    A, _ = sio.load_csr(matrix_dir / name, 257)
+    ref = echelonize(A.copy())
+    opts = EchelonizeOptions(enable_dense=False,
+                             enable_tall_and_skinny=False)
+    fact = echelonize(A, opts)
+    assert fact.r == ref.r
+    qinv = echelon_form_check(fact.U, fact.qinv)
+    inclusion_check(A, fact.U, qinv)
+
+
+def test_gplu_finisher_with_L(matrix_dir):
+    """GPLU finisher in complete-LU mode: A == L @ U."""
+    A, _ = sio.load_csr(matrix_dir / "singular.sms", 257)
+    opts = EchelonizeOptions(complete=True, enable_dense=False,
+                             enable_tall_and_skinny=False)
+    fact = echelonize(A, opts)
+    F = A.field
+    LU_ = F.narray(fact.L.todense().astype(object)
+                   @ fact.U.todense().astype(object))
+    assert np.array_equal(LU_, A.todense())
 
 
 @pytest.mark.parametrize("name", FAST)

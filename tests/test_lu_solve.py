@@ -18,7 +18,9 @@ FAST = ["singular.sms", "small.sms", "upper_trapeze.sms",
         "lower_trapeze.sms", "rectangular_h.sms", "rectangular_l.sms",
         "dm.sms", "G2.sms", "t1.sms", "singular2.sms", "chains2.sms"]
 
-MODULI = [3, 257, 4294967291]
+# full reference modulus grid (tests/CMakeLists.txt:46-53): every device
+# digit tier (d=2: 3/257/65537, d=3: 67108859/189812507, d=4: 2^32-5)
+from tests.conftest import ALL_MODULI as MODULI  # noqa: E402
 
 
 def lu_product_dense(fact):
