@@ -281,22 +281,28 @@ class UEliminator:
 
     def pad_block(self, X: np.ndarray):
         """Host block (B, m) -> padded device array (row/col buckets;
-        the extra dead column absorbs padded-slot writes)."""
+        the extra dead column absorbs padded-slot writes).  Under an
+        active mesh the block is placed row-sharded (pure DP)."""
         from .elim import _size_bucket
+        from ..parallel.context import shard_rows
         B, m = X.shape
         Bp = _size_bucket(B, 8)
         mp = _size_bucket(m + 1, 64)
         Xp = np.zeros((Bp, mp), np.int32)
         Xp[:B, :m] = X
-        return jnp.asarray(Xp)
+        return shard_rows(jnp.asarray(Xp))
 
     def _dispatch_runs(self) -> List[_Run]:
         """Merge consecutive same-shape runs and pad each run's chunk
         count to a power of two with dead (skipped) chunks, so the number
         of distinct _apply_chunk_run compilations stays bounded.  Cached
-        until the run list changes."""
+        until the run list changes.  Under an active mesh the chunk
+        bases are placed replicated (DP: sharded rows x replicated U)."""
+        from ..parallel.context import current_mesh, replicated
+        mesh = current_mesh()
+        key = (len(self.runs), None if mesh is None else id(mesh))
         if getattr(self, "_dispatch", None) is not None and \
-                self._dispatch_src == len(self.runs):
+                self._dispatch_src == key:
             return self._dispatch
         merged: List[_Run] = []
         for run in self.runs:
@@ -323,9 +329,13 @@ class UEliminator:
                 run = _Run(jnp.concatenate([run.cols, dcols]),
                            jnp.concatenate([run.jpos, djpos]),
                            jnp.concatenate([run.V, dV]), run.k)
+            if mesh is not None:
+                run = _Run(replicated(run.cols, mesh),
+                           replicated(run.jpos, mesh),
+                           replicated(run.V, mesh), run.k)
             out.append(run)
         self._dispatch = out
-        self._dispatch_src = len(self.runs)
+        self._dispatch_src = key
         return out
 
     def eliminate_device(self, Xd):

@@ -390,12 +390,15 @@ def _use_pallas(p: int, d: int) -> bool:
 
 
 def _run(S: np.ndarray, p: int, rref: bool, nb: int):
+    from ..parallel.context import shard_cols
     F = device_field(p)
     pall = _use_pallas(p, F.ndigits)
     # Mosaic wants the transposed panel's lane dimension 128-aligned
     Sp = _pad(np.ascontiguousarray(S, np.int32), nb,
               rows_quantum=128 if pall else 32)
-    return _eliminate(jnp.asarray(Sp), jnp.int64(p),
+    # active mesh: column-sharded right-looking elimination (panel sweep
+    # where the panel lives, trailing MXU updates local per column shard)
+    return _eliminate(shard_cols(jnp.asarray(Sp)), jnp.int64(p),
                       jnp.asarray(F.weights), F.ndigits, rref, nb,
                       p <= (1 << 23), pall)
 
@@ -408,6 +411,7 @@ def dense_rref_device(Xd, p: int, nb: int = _NB):
     (ordered by pivot column, unit pivots); pivcols the ascending host
     pivot-column indices.  Only the (m,) pivot-row map crosses to host.
     """
+    from ..parallel.context import shard_cols
     F = device_field(p)
     pall = _use_pallas(p, F.ndigits)
     n, m = Xd.shape
@@ -416,8 +420,8 @@ def dense_rref_device(Xd, p: int, nb: int = _NB):
     if (np_, mp) != (n, m):
         Xd = jnp.pad(Xd, ((0, np_ - n), (0, mp - m)))
     Sf, pivrow_of_col, _, _ = _eliminate(
-        Xd, jnp.int64(p), jnp.asarray(F.weights), F.ndigits, True, nb,
-        p <= (1 << 23), pall)
+        shard_cols(Xd), jnp.int64(p), jnp.asarray(F.weights), F.ndigits,
+        True, nb, p <= (1 << 23), pall)
     pivrow = np.asarray(pivrow_of_col)[:m]          # small: m int32
     pivcols = np.nonzero(pivrow >= 0)[0]
     rows = jnp.asarray(pivrow[pivcols], jnp.int32)

@@ -81,7 +81,8 @@ def _block_rows_device(A: CSR, rows: np.ndarray, Bp: int, mp: int):
     if cols.size:
         Xd = Xd.at[jnp.asarray(rowrep), jnp.asarray(cols)].set(
             jnp.asarray(vals))
-    return Xd
+    from .parallel.context import shard_rows
+    return shard_rows(Xd)
 
 
 _DEVICE_THRESHOLD = 1 << 21    # rows*m below this: scalar host path wins

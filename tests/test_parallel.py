@@ -56,6 +56,57 @@ def test_distributed_block_eliminate_matches(mesh):
     assert np.array_equal(got, want)
 
 
+def test_echelonize_on_mesh_matches(mesh, matrix_dir):
+    """End-to-end engine run under an active mesh: every device stage is
+    sharded (row-sharded block elimination, column-sharded dense RREF);
+    U and the rank must be bit-identical to the single-device run."""
+    from spasm_tpu import sio
+    from spasm_tpu.echelonize import echelonize
+    from spasm_tpu.parallel.context import use_mesh
+    A, _ = sio.load_csr(matrix_dir / "mat364.sms", 42013)
+    ref = echelonize(A.copy())
+    U_ref = ref.U
+    with use_mesh(mesh):
+        fact = echelonize(A.copy())
+        U = fact.U
+    assert fact.r == ref.r
+    assert np.array_equal(fact.qinv, ref.qinv)
+    assert np.array_equal(U.indptr, U_ref.indptr)
+    assert np.array_equal(U.indices, U_ref.indices)
+    assert np.array_equal(U.data, U_ref.data)
+
+
+def test_echelonize_on_mesh_with_L(mesh, matrix_dir):
+    """Complete PLUQ on the mesh: A == L @ U."""
+    from spasm_tpu import sio
+    from spasm_tpu.echelonize import echelonize, EchelonizeOptions
+    from spasm_tpu.parallel.context import use_mesh
+    A, _ = sio.load_csr(matrix_dir / "singular.sms", 257)
+    with use_mesh(mesh):
+        fact = echelonize(A.copy(), EchelonizeOptions(complete=True))
+    F = A.field
+    got = F.narray(fact.L.todense().astype(object)
+                   @ fact.U.todense().astype(object))
+    assert np.array_equal(got, A.todense())
+
+
+def test_sharded_dense_rref_matches(mesh):
+    """Column-sharded blocked RREF over the mesh == single-device RREF
+    (2-D dense elimination with SPMD-inserted panel gathers)."""
+    from spasm_tpu.parallel.context import use_mesh
+    p = 42013
+    rng = np.random.default_rng(7)
+    n = m = 1024
+    S = rng.integers(-p // 2, p // 2 + 1, (n, m)).astype(np.int32)
+    # plant rank deficiency: 32 duplicate rows
+    S[512:544] = S[0:32]
+    want_R, want_piv = dense_rref(S, p, force="device")
+    with use_mesh(mesh):
+        got_R, got_piv = dense_rref(S, p, force="device")
+    assert np.array_equal(want_piv, got_piv)
+    assert np.array_equal(want_R, got_R)
+
+
 def test_graft_entry_compiles():
     import importlib.util
     import pathlib
