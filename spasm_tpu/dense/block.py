@@ -34,7 +34,7 @@ import numpy as np
 
 from .modp import device_field, dnorm, dnorm64, matmul_digits, mulmod
 
-_DEFAULT_CHUNK = 256
+_DEFAULT_CHUNK = 1024
 _DENSE_BUDGET = 32 << 20      # max int32 elements per densified chunk
 
 
@@ -71,53 +71,82 @@ def _unit_upper_inverse_log(W, p, weights, d: int):
     return S
 
 
+@functools.partial(jax.jit, static_argnames=("kp", "cp", "as_i8"))
+def _scatter_chunk_entries(rowrep, posidx, vals, kp: int, cp: int,
+                           as_i8: bool = False):
+    """Densify one chunk's sparse entries into a (kp, cp) block ON
+    DEVICE.  Only the nnz of the chunk crosses host->device (the
+    tunnel's H2D bandwidth is the scarcest resource), not the kp*cp
+    dense block.  Padded entries carry value 0 at a dead slot
+    (scatter-add is inert).
+
+    as_i8 (host asserts every value fits int8, e.g. the +-1 entries of
+    boundary-map matrices): the chunk is stored as a single base-256
+    digit, which halves the MXU dots and quarters the V traffic of
+    every subsequent application (matmul_digits_i8B)."""
+    Ud = jnp.zeros((kp, cp), jnp.int32)
+    Ud = Ud.at[rowrep, posidx].add(vals)
+    return Ud.astype(jnp.int8) if as_i8 else Ud
+
+
 @functools.partial(jax.jit, static_argnames=("d", "kp", "cp"))
-def _compose_chunk_batch_entries(rowrep, posidx, vals, jpos, p, weights,
-                                 d: int, kp: int, cp: int):
-    """Sparse-input chunk composition: scatter the chunk rows' entries
-    into the densified (g, kp, cp) chunk ON DEVICE, then compose.
+def _compose_chunk_entries(rowrep, posidx, vals, jpos, p, weights,
+                           d: int, kp: int, cp: int):
+    """Chunk composition V = (I + W)^-1 @ U for a chunk whose rows
+    interact (a later row's pivot column appears in an earlier row's
+    support).  W is gathered on device: W[l, t] = Ud[l, jpos[t]]
+    strictly above the diagonal (pivots are unit by convention).
 
-    Only the nnz of the chunk crosses host->device (the tunnel's H2D
-    bandwidth is the scarcest resource), not the kp*cp dense block.
-    Padded entries carry value 0 at a dead slot (scatter-add is inert).
-    W is gathered on device: W[l, t] = Ud[l, jpos[t]] strictly above the
-    diagonal (the intra-chunk corrections; pivots are unit by
-    convention).
+    Chunks whose rows are mutually independent (the common case after
+    level-major pivot ordering, pivots.py:row_levels) skip this and use
+    _scatter_chunk_entries directly — W == 0 there, so V == Ud.
     """
-    g = rowrep.shape[0]
-    gi = jnp.arange(g)[:, None]
-    Ud = jnp.zeros((g, kp, cp), jnp.int32)
-    Ud = Ud.at[gi, rowrep, posidx].add(vals)
-    idx = jnp.broadcast_to(jpos[:, None, :], (g, kp, kp))
-    W = jnp.take_along_axis(Ud, idx, axis=2)          # (g, kp, kp)
+    Ud = _scatter_chunk_entries(rowrep, posidx, vals, kp, cp)
+    W = Ud[:, jpos]                                   # (kp, kp)
     tri = jnp.triu(jnp.ones((kp, kp), bool), 1)
-    W = jnp.where(tri[None], W, 0)
-
-    def one(u, w):
-        Winv = _unit_upper_inverse_log(w, p, weights, d)
-        return matmul_digits(Winv, u, p, weights, d)
-
-    return jax.vmap(one)(Ud, W)
+    W = jnp.where(tri, W, 0)
+    Winv = _unit_upper_inverse_log(W, p, weights, d)
+    return matmul_digits(Winv, Ud, p, weights, d)
 
 
-@functools.partial(jax.jit, static_argnames=("d",))
-def _apply_chunk(X, cols, jpos, V, p, weights, d: int):
-    """One chunk update on a dense block X (B, m)."""
+from .elim import _submod
+
+
+@functools.partial(jax.jit, static_argnames=("d", "park"),
+                   donate_argnums=(0,))
+def _apply_chunk(X, cols, jpos, V, p, weights, d: int, park: bool = True):
+    """One chunk update on a dense block X (B, m).  X is donated —
+    full-width blocks are hundreds of MB and the caller never reuses the
+    input (async dispatch would otherwise stack one fresh output per
+    queued chunk application).
+
+    park=True writes the elimination coefficients back onto the pivot
+    columns (the scalar-solver convention, needed for L / sparse Schur);
+    park=False leaves them zero (V's pivot columns are an embedded
+    identity, so the update itself clears them) — the finisher path.
+    """
     Xc = X[:, cols]                                   # (B, |C|)
     F = Xc[:, jpos]                                   # (B, K) current coeffs
     delta = matmul_digits(F, V, p, weights, d)        # (B, |C|)
-    Xc = dnorm(Xc.astype(jnp.int64) - delta.astype(jnp.int64), p)
-    Xc = Xc.at[:, jpos].set(F)      # park coefficients on pivot columns
+    Xc = _submod(Xc, delta, p, d == 2)
+    if park:
+        Xc = Xc.at[:, jpos].set(F)  # park coefficients on pivot columns
     return X.at[:, cols].set(Xc)
 
 
-@functools.partial(jax.jit, static_argnames=("d",))
-def _apply_chunk_run(X, cols, jpos, V, p, weights, d: int):
+@functools.partial(jax.jit, static_argnames=("d", "park", "skip_empty"),
+                   donate_argnums=(0,))
+def _apply_chunk_run(X, cols, jpos, V, p, weights, d: int,
+                     park: bool = True, skip_empty: bool = True):
     """Apply a run of same-bucket chunks sequentially in ONE dispatch.
+    X is donated: callers never reuse the input block, and aliasing
+    halves the scan's HBM footprint for full-width blocks.
 
-    cols: (nc, Cp), jpos: (nc, Kp), V: (nc, Kp, Cp).  A chunk whose
-    coefficient block is all zero is skipped (lax.cond), which makes
-    re-elimination against already-cleared history chunks nearly free.
+    cols: (nc, Cp), jpos: (nc, Kp), V: (nc, Kp, Cp).  With skip_empty a
+    chunk whose coefficient block is all zero is skipped (lax.cond),
+    which makes re-elimination against already-cleared history chunks
+    nearly free; the finisher passes skip_empty=False (its blocks are
+    never empty and the reduction + branch cost real time per chunk).
     """
     def body(X, ch):
         c, j, v = ch
@@ -126,11 +155,15 @@ def _apply_chunk_run(X, cols, jpos, V, p, weights, d: int):
 
         def live(X):
             delta = matmul_digits(F, v, p, weights, d)
-            Xc2 = dnorm(Xc.astype(jnp.int64) - delta.astype(jnp.int64), p)
-            Xc2 = Xc2.at[:, j].set(F)
+            Xc2 = _submod(Xc, delta, p, d == 2)
+            if park:
+                Xc2 = Xc2.at[:, j].set(F)
             return X.at[:, c].set(Xc2)
 
-        X = jax.lax.cond(jnp.any(F != 0), live, lambda X: X, X)
+        if skip_empty:
+            X = jax.lax.cond(jnp.any(F != 0), live, lambda X: X, X)
+        else:
+            X = live(X)
         return X, None
 
     X, _ = jax.lax.scan(body, X, (cols, jpos, V))
@@ -167,25 +200,50 @@ class UEliminator:
     def nrows(self) -> int:
         return sum(r.k for r in self.runs) + len(self._stage)
 
-    def append_rows(self, rows, flush: bool = True):
+    def append_rows(self, rows, flush: bool = True, levels=None):
         """rows: iterable of (cols int64[], vals int32[], pivcol).
 
-        Each row must have value 1 at its pivot column.
+        Each row must have value 1 at its pivot column.  `levels`
+        (optional, one int per row): topological levels — rows of equal
+        level never contain each other's pivot columns, letting flush
+        build wide composition-free chunks (pivots.py:row_levels).
         """
-        self._stage.extend(rows)
+        rows = list(rows)
+        if levels is None:
+            levels = [-1] * len(rows)
+        self._stage.extend(
+            (c, v, pc, int(lv)) for (c, v, pc), lv in zip(rows, levels))
         if flush:
             self.flush()
+
+    # level-aligned chunks can grow to this many rows (one scan step
+    # each); level-unknown or interacting chunks stay at self.chunk so
+    # the (I+W)^-1 composition stays cheap
+    _WIDE_CHUNK = 4096
 
     def flush(self):
         if not self._stage:
             return
         stage = self._stage
         self._stage = []
-        # partition the stage into chunks respecting the dense budget
+        # partition the stage into chunks: aligned to level boundaries
+        # (same-level rows -> no composition, so the wider the better),
+        # respecting the dense budget
         batches = []
         i = 0
         while i < len(stage):
-            take = min(len(stage) - i, self.chunk)
+            lv = stage[i][3]
+            take = 1
+            limit = min(len(stage) - i,
+                        self._WIDE_CHUNK if lv >= 0 else self.chunk)
+            while take < limit and stage[i + take][3] == lv \
+                    and (lv >= 0 or take < self.chunk):
+                take += 1
+            if lv >= 0 and take < self.chunk:
+                # short level run: merge consecutive short runs into one
+                # (composed) chunk rather than paying a scan step each
+                while take < min(len(stage) - i, self.chunk):
+                    take += 1
             while take > 1:
                 u = np.unique(np.concatenate(
                     [stage[j][0] for j in range(i, i + take)])).size
@@ -194,56 +252,78 @@ class UEliminator:
                 take //= 2
             batches.append(stage[i:i + take])
             i += take
-        prepped = [self._prep_entries(b) for b in batches]
-        # one vmapped composition dispatch per group of same-shape chunks
-        # (order preserved: only consecutive chunks group together); only
-        # sparse entries cross host->device, densification is on device
+        # one scatter (+ one composition when rows interact) per chunk;
+        # only sparse entries cross host->device, densification is on
+        # device.  Shapes are power-of-two bucketed, so the number of
+        # compiled variants is bounded and INDEPENDENT of the matrix —
+        # the persistent compile cache makes them one-time-ever costs.
+        p64 = jnp.int64(self.p)
+        w = jnp.asarray(self.F.weights)
+        pending: List[tuple] = []       # (cols (Cp,), jpos (Kp,), V, K)
+        for b in batches:
+            rowrep, posidx, vals, jp, colsp, K, interacts = \
+                self._prep_entries(b)
+            kp, cp = jp.size, colsp.size
+            if interacts and K > 1:
+                V = _compose_chunk_entries(
+                    jnp.asarray(rowrep), jnp.asarray(posidx),
+                    jnp.asarray(vals), jnp.asarray(jp), p64, w,
+                    self.F.ndigits, kp, cp)
+            else:
+                as_i8 = bool(np.abs(vals).max(initial=0) <= 127)
+                V = _scatter_chunk_entries(
+                    jnp.asarray(rowrep), jnp.asarray(posidx),
+                    jnp.asarray(vals), kp, cp, as_i8)
+            pending.append((colsp, jp, V, K))
+        # stack consecutive same-shape chunks into runs (one scan
+        # dispatch per run in eliminate_device), bounded per run so no
+        # multi-GB stacked copy ever forms
         j = 0
-        while j < len(prepped):
-            shape = (prepped[j][0].shape, len(prepped[j][3]),
-                     len(prepped[j][4]))
+        while j < len(pending):
+            shape = (pending[j][2].shape, pending[j][2].dtype)
+            per = int(np.prod(shape[0])) * pending[j][2].dtype.itemsize
+            gmax = max(self._MERGE_LIMIT // max(per, 1), 1)
             j2 = j
-            while j2 < len(prepped) and (prepped[j2][0].shape,
-                                         len(prepped[j2][3]),
-                                         len(prepped[j2][4])) == shape:
+            while (j2 < len(pending)
+                   and (pending[j2][2].shape,
+                        pending[j2][2].dtype) == shape
+                   and j2 - j < gmax):
                 j2 += 1
-            group = prepped[j:j2]
-            rowrep = jnp.asarray(np.stack([g[0] for g in group]))
-            posidx = jnp.asarray(np.stack([g[1] for g in group]))
-            vals = jnp.asarray(np.stack([g[2] for g in group]))
-            jpos = jnp.asarray(np.stack([g[3] for g in group]))
-            kp = group[0][3].size
-            cp = group[0][4].size
-            V = _compose_chunk_batch_entries(
-                rowrep, posidx, vals, jpos, jnp.int64(self.p),
-                jnp.asarray(self.F.weights), self.F.ndigits, kp, cp)
-            cols = jnp.asarray(np.stack([g[4] for g in group]))
-            nreal = sum(g[5] for g in group)
-            self.runs.append(_Run(cols, jpos, V, nreal))
+            group = pending[j:j2]
+            cols = jnp.asarray(np.stack([g[0] for g in group]))
+            jpos = jnp.asarray(np.stack([g[1] for g in group]))
+            V = jnp.stack([g[2] for g in group])
+            self.runs.append(_Run(cols, jpos, V,
+                                  sum(g[3] for g in group)))
             j = j2
 
     def _prep_entries(self, batch):
         """Host prep of one chunk: union support + flat sparse entries,
         padded to buckets.  Returns (rowrep (Ep,), posidx (Ep,),
-        vals (Ep,), jp (Kp,), colsp (Cp,), K).  Densification happens on
-        device (_compose_chunk_batch_entries)."""
+        vals (Ep,), jp (Kp,), colsp (Cp,), K, interacts).
+        Densification happens on device (_scatter_chunk_entries);
+        `interacts` is False when no row's support contains another
+        row's pivot column (W == 0 — no composition needed)."""
         K = len(batch)
-        union = np.unique(np.concatenate([c for c, _, _ in batch]))
-        pivcols = np.asarray([pc for _, _, pc in batch], np.int64)
+        cols_cat = np.concatenate([b[0] for b in batch])
+        union = np.unique(cols_cat)
+        pivcols = np.asarray([b[2] for b in batch], np.int64)
         Kp = _bucket(K)
         # always leave at least one padded (dead) column so padded pivot
         # slots never clamp onto a real column
         Cp = _bucket(union.size + 1)
-        lens = np.asarray([c.size for c, _, _ in batch], np.int64)
+        lens = np.asarray([b[0].size for b in batch], np.int64)
         E = int(lens.sum())
         Ep = _bucket(E)
         rowrep = np.zeros(Ep, np.int32)
         posidx = np.full(Ep, Cp - 1, np.int32)      # dead slot for padding
         vals = np.zeros(Ep, np.int32)
         rowrep[:E] = np.repeat(np.arange(K, dtype=np.int32), lens)
-        posidx[:E] = np.searchsorted(
-            union, np.concatenate([c for c, _, _ in batch])).astype(np.int32)
-        vals[:E] = np.concatenate([v for _, v, _ in batch]).astype(np.int32)
+        posidx[:E] = np.searchsorted(union, cols_cat).astype(np.int32)
+        vals[:E] = np.concatenate([b[1] for b in batch]).astype(np.int32)
+        # interaction check: each row contains its own pivot column, so
+        # exactly K hits on pivot columns <=> W == 0
+        interacts = int(np.isin(cols_cat, pivcols).sum()) > K
         jpos = np.searchsorted(union, pivcols)
         # padded pivot slots point at padded (zero) columns
         jp = np.full(Kp, 0, np.int64)
@@ -252,9 +332,10 @@ class UEliminator:
             jp[K:] = union.size + np.arange(Kp - K) % (Cp - union.size)
         colsp = np.full(Cp, self.m, np.int64)     # padded cols -> dead col m
         colsp[:union.size] = union
-        return rowrep, posidx, vals, jp, colsp, K
+        return rowrep, posidx, vals, jp, colsp, K, interacts
 
-    def append_device_chunk(self, V, cols: np.ndarray, jpos: np.ndarray):
+    def append_device_chunk(self, V, cols: np.ndarray, jpos: np.ndarray,
+                            dead_col: bool = False):
         """Register an already-composed chunk resident on device.
 
         V: (K, C) int32 device array of mutually reduced rows (value 1 at
@@ -263,17 +344,24 @@ class UEliminator:
         (I+W)^-1 composition).  cols: (C,) global column ids (host);
         jpos: (K,) positions of the pivot columns inside cols (host).
         No host<->device transfer of V takes place.
+
+        dead_col=True asserts that V's trailing column(s) are already
+        dead (zero, cols mapped to self.m) so no column padding is
+        added — used by the device finisher whose blocks carry the dead
+        column by construction.
         """
         self.flush()        # keep engine ordering: staged rows first
         K, C = V.shape
         Kp = _bucket(K)
-        Cp = _bucket(C + 1)      # at least one dead column (see _prep)
+        Cp = C if dead_col else _bucket(C + 1)   # >= 1 dead column
         if (Kp, Cp) != (K, C):
             V = jnp.pad(V, ((0, Kp - K), (0, Cp - C)))
         jp = np.full(Kp, 0, np.int64)
         jp[:K] = np.asarray(jpos, np.int64)
         if Kp > K:
-            jp[K:] = C + np.arange(Kp - K) % (Cp - C)
+            # padded pivot slots point at a dead column
+            jp[K:] = Cp - 1 if dead_col else \
+                C + np.arange(Kp - K) % (Cp - C)
         colsp = np.full(Cp, self.m, np.int64)
         colsp[:C] = np.asarray(cols, np.int64)
         self.runs.append(_Run(jnp.asarray(colsp)[None], jnp.asarray(jp)[None],
@@ -292,21 +380,36 @@ class UEliminator:
         Xp[:B, :m] = X
         return shard_rows(jnp.asarray(Xp))
 
+    # above this V byte size a run is never merged/copied: it dispatches
+    # as its own _apply_chunk call (one extra dispatch beats duplicating
+    # a multi-hundred-MB basis chunk in HBM)
+    _MERGE_LIMIT = 256 << 20
+
     def _dispatch_runs(self) -> List[_Run]:
-        """Merge consecutive same-shape runs and pad each run's chunk
-        count to a power of two with dead (skipped) chunks, so the number
-        of distinct _apply_chunk_run compilations stays bounded.  Cached
-        until the run list changes.  Under an active mesh the chunk
-        bases are placed replicated (DP: sharded rows x replicated U)."""
+        """Merge consecutive same-shape small runs and pad each merged
+        run's chunk count to a power of two with dead (skipped) chunks,
+        so the number of distinct _apply_chunk_run compilations stays
+        bounded.  The merged list REPLACES self.runs (the originals are
+        dropped — holding both doubles HBM).  Under an active mesh the
+        chunk bases are placed replicated (DP: sharded rows x
+        replicated U)."""
         from ..parallel.context import current_mesh, replicated
         mesh = current_mesh()
-        key = (len(self.runs), None if mesh is None else id(mesh))
+        key = (len(self.runs), sum(r.V.shape[0] for r in self.runs),
+               None if mesh is None else id(mesh))
         if getattr(self, "_dispatch", None) is not None and \
                 self._dispatch_src == key:
             return self._dispatch
+
+        def vbytes(run):
+            return run.V.size * run.V.dtype.itemsize
+
         merged: List[_Run] = []
         for run in self.runs:
-            if merged and merged[-1].V.shape[1:] == run.V.shape[1:]:
+            if (merged and merged[-1].V.shape[1:] == run.V.shape[1:]
+                    and merged[-1].V.dtype == run.V.dtype
+                    and vbytes(merged[-1]) + vbytes(run)
+                    <= self._MERGE_LIMIT):
                 prev = merged[-1]
                 merged[-1] = _Run(
                     jnp.concatenate([prev.cols, run.cols]),
@@ -320,12 +423,13 @@ class UEliminator:
             gp = 1
             while gp < g:
                 gp <<= 1
-            if gp > g:
+            if gp > g and g * Kp * Cp * run.V.dtype.itemsize \
+                    <= self._MERGE_LIMIT:
                 # dead chunks: all-dead columns -> zero coefficient block
                 # -> lax.cond skips them
                 dcols = jnp.full((gp - g, Cp), self.m, jnp.int64)
                 djpos = jnp.zeros((gp - g, Kp), jnp.int64)
-                dV = jnp.zeros((gp - g, Kp, Cp), jnp.int32)
+                dV = jnp.zeros((gp - g, Kp, Cp), run.V.dtype)
                 run = _Run(jnp.concatenate([run.cols, dcols]),
                            jnp.concatenate([run.jpos, djpos]),
                            jnp.concatenate([run.V, dV]), run.k)
@@ -334,13 +438,26 @@ class UEliminator:
                            replicated(run.jpos, mesh),
                            replicated(run.V, mesh), run.k)
             out.append(run)
+        # the merged runs supersede the originals run-for-run (dead
+        # chunks are inert, merging preserves order), so they are safe
+        # to adopt as the canonical list — this both avoids holding two
+        # copies of the basis and makes future merges incremental
+        self.runs = out if mesh is None else merged
         self._dispatch = out
-        self._dispatch_src = key
+        self._dispatch_src = (len(self.runs),
+                              sum(r.V.shape[0] for r in self.runs),
+                              None if mesh is None else id(mesh))
         return out
 
-    def eliminate_device(self, Xd):
+    def eliminate_device(self, Xd, park: bool = True,
+                         skip_empty: bool = True):
         """Device-resident eliminate: Xd (Bp, mp) padded int32 on device;
-        returns the updated device array (no host transfers)."""
+        returns the updated device array (no host transfers).
+
+        park=False skips writing the elimination coefficients back onto
+        pivot columns (they are left zero); skip_empty=False drops the
+        per-chunk emptiness cond — both for the finisher's hot path.
+        """
         self.flush()
         if not self.runs:
             return Xd
@@ -349,10 +466,10 @@ class UEliminator:
         for run in self._dispatch_runs():
             if run.V.shape[0] == 1:
                 Xd = _apply_chunk(Xd, run.cols[0], run.jpos[0], run.V[0],
-                                  p64, w, self.F.ndigits)
+                                  p64, w, self.F.ndigits, park)
             else:
                 Xd = _apply_chunk_run(Xd, run.cols, run.jpos, run.V, p64,
-                                      w, self.F.ndigits)
+                                      w, self.F.ndigits, park, skip_empty)
         return Xd
 
     def eliminate(self, X: np.ndarray) -> np.ndarray:

@@ -170,15 +170,57 @@ def _digits(x, d: int, p=None):
     return jnp.stack(out)
 
 
+def matmul_digits_i8B(A, B8, p, weights, d: int):
+    """Exact (A @ B8) mod p where B8 is int8 (|values| <= 127 — a single
+    base-256 digit).  Only A is digit-decomposed, so the product needs d
+    MXU dot_generals instead of d*d — structural pivot bases with +-1
+    entries (e.g. boundary-map matrices) take this path."""
+    n, k = A.shape
+    kc = _k_chunk(d)
+    nchunks = -(-k // kc)
+    small = d == 2
+    acc = jnp.zeros((n, B8.shape[1]), dtype=jnp.int32 if small
+                    else jnp.int64)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    for c in range(nchunks):
+        lo = c * kc
+        hi = min(k, lo + kc)
+        Ad = _digits(A[:, lo:hi], d, p)
+        Bc = B8[lo:hi, :]
+        if small:
+            b0 = _reduce31(dot(Ad[0], Bc), p)
+            b1 = _reduce31(dot(Ad[1], Bc), p)
+            w32 = weights.astype(jnp.int32)
+            acc = acc + _reduce31(b0 + w32[1] * b1, p)
+            if (c + 1) % (1 << 14) == 0:
+                acc = _reduce31(acc, p)
+        else:
+            for s in range(d):
+                # dot result magnitude <= kc * 128 * 127 < 2^31 (int32);
+                # p may exceed int32 for d == 4, so reduce in int64
+                b = dnorm64(dot(Ad[s], Bc).astype(jnp.int64), p)
+                acc = acc + dnorm64(b * weights[s], p)
+            if (c + 1) % 64 == 0:
+                acc = dnorm64(acc, p)
+    if small:
+        return _reduce31(acc, p)
+    return dnorm(acc, p)
+
+
 def matmul_digits(A, B, p, weights, d: int):
     """Exact (A @ B) mod p; A, B balanced int32; p traced scalar;
-    weights (2d-1,) int64; d static.
+    weights (2d-1,) int64; d static.  B may be int8 (single digit) —
+    dispatches to the d-dot variant instead of d*d.
 
     The d*d int8 digit products are separate MXU dot_generals accumulated
     per anti-diagonal: a batched einsum over (d, d) would materialize a
     (d, d, n, m) int32 intermediate — d^2 * 4 bytes per output element —
     which is memory-bound and OOMs at large n*m (measured 30x slower at
     (4608, 139776) than the pairwise form)."""
+    if B.dtype == jnp.int8:
+        return matmul_digits_i8B(A, B, p, weights, d)
     n, k = A.shape
     _, m = B.shape
     kc = _k_chunk(d)

@@ -65,6 +65,16 @@ class EchelonizeOptions:
     # TPU-build extension (not in the reference): BFS expansion budget for
     # the greedy pivot search; -1 = auto (32 * nnz), 0 = unlimited.
     greedy_work_budget: int = -1
+    # TPU-build extension: the device-resident dense finisher takes over
+    # as soon as the number of free (non-pivotal) columns fits this
+    # width — the remaining rank lives in a dense block that belongs on
+    # the MXU, so further sparse Schur rounds are skipped (SURVEY.md §7
+    # "invert the reference's emphasis").  0 disables (reference-shaped
+    # round loop + host/hybrid finishers).
+    device_dense_width: int = 32768
+    # Minimum remaining work (rows * free columns) before the device
+    # finisher pays for its dispatches; below it the host paths win.
+    device_dense_min: int = 1 << 22
     # TPU-build extension: mid-engine checkpoint/resume (SURVEY.md §5.4).
     # When set, the engine snapshots its state to this file after every
     # round and every dense-finisher block; re-running with the same input
@@ -315,7 +325,7 @@ class _Engine:
         """
         t0 = time.time()
         with phase("pivots"):
-            npiv, p, pinv, qinv_loc = find_structural_pivots(
+            npiv, p, pinv, qinv_loc, levels = find_structural_pivots(
                 S, self.opts.enable_greedy_pivot_search,
                 self.opts.greedy_work_budget)
         F = self.field
@@ -362,7 +372,7 @@ class _Engine:
                 self.U.pivcol.append(int(pivcols[k]))
                 stage.append((cols2[sl], v, int(pivcols[k])))
             self.U.qinv[pivcols] = k0 + np.arange(npiv)
-            self.elim.append_rows(stage, flush=False)
+            self.elim.append_rows(stage, flush=False, levels=levels)
         self.elim.flush()
         log.info("[pivots] %d structural pivots found [%.2fs]",
                  npiv, time.time() - t0)
@@ -545,6 +555,162 @@ class _Engine:
             log.info("[dense] done in %.1fs, %d new pivots",
                      time.time() - t0, self.U.n - old_un)
 
+    # -- device-resident finisher (TPU-first redesign) ---------------------
+
+    def _completion_device(self, dcsr, cand_mask_d, qsel_d, basis,
+                           seed: int) -> bool:
+        """Probabilistic completion test, fully on device: random full
+        combinations of the candidate rows, eliminated against the whole
+        basis; complete iff every residue is zero.  One scalar crosses
+        device->host.  (spasm_echelonize.c:30-51 with the combination
+        formed by a device SpMV instead of a host scatter loop.)"""
+        import jax
+        import jax.numpy as jnp
+        Sn = int(np.ceil(128 / np.log2(self.prime)))
+        key = jax.random.PRNGKey(seed)
+        XT = jax.random.randint(key, (Sn, dcsr.n), 0, self.prime,
+                                dtype=jnp.int32)
+        XT = jnp.where(cand_mask_d[None, :], XT, 0)
+        Y = dcsr.spmv(XT)
+        from .dense.elim import _size_bucket
+        Bp = _size_bucket(Sn, 8)
+        if Bp > Sn:
+            Y = jnp.pad(Y, ((0, Bp - Sn), (0, 0)))
+        Y = self.elim.eliminate_device(Y)
+        Yq = basis.apply(Y[:, qsel_d])
+        return not bool(np.asarray(jnp.any(Yq != 0)))
+
+    @annotate("finish_device")
+    def finish_device_dense(self, S: CSR, p: np.ndarray, n: int):
+        """Device-resident dense finisher — the TPU-first replacement for
+        both echelonize_dense (spasm_echelonize.c:385-463) and
+        echelonize_dense_lowrank (:315-379).
+
+        The matrix's entries are uploaded ONCE (DeviceCSR); every round
+        then runs entirely on device: form a block (actual rows, or
+        random sparse-weight combinations when the residual is tall) ->
+        eliminate against the full pivot basis (chunked scan) -> compact
+        to the free columns -> row-sweep RREF (dense/rowrref.py, whose
+        sequential cost scales with the block's rows, not the width) ->
+        register the new reduced rows as a device chunk of the basis.
+        Per round, only the (B,) pivot-column map crosses device->host.
+        Measured context (tunneled TPU): ~65 MB/s up / ~20 MB/s down /
+        ~28 ms per sync — which is why no matrix-sized array may cross
+        the link in either direction.
+        """
+        import jax.numpy as jnp
+        from .device_csr import DeviceCSR
+        from .dense.elim import _size_bucket
+        import spasm_tpu.dense.rowrref as _rr
+        rref_rows_device = _rr.rref_rows_device
+
+        opts = self.opts
+        m = self.m
+        prime = self.prime
+        t0 = time.time()
+        old_un = self.U.n
+        dcsr = DeviceCSR(S)                  # the one bulk upload
+        mp = dcsr.mp
+
+        qfree = np.nonzero(self.U.qinv < 0)[0]
+        nq = qfree.size
+        M = _size_bucket(nq + 1, 64)         # compacted width + dead col
+        qsel = np.full(M, mp - 1, np.int64)  # dead slots -> dead col of X
+        qsel[:nq] = qfree
+        qsel_d = jnp.asarray(qsel)
+        q_ext = np.full(M, m, np.int64)      # slot -> global column
+        q_ext[:nq] = qfree
+
+        rank_ub = min(n, nq)
+        aspect = n / max(nq, 1)
+        lowrank = (opts.enable_tall_and_skinny
+                   and aspect > opts.tall_and_skinny_ratio)
+        # block height: HBM element budget on the full-width block (the
+        # row-sweep RREF is also fastest near 4096: its left-looking
+        # panel matmuls re-read the block once per panel, O(B^2 M))
+        B = 1024
+        while B < rank_ub + 64 and 2 * B * mp <= (640 << 20) and B < 4096:
+            B <<= 1
+        w = int(np.ceil(-np.log(0.01) * n / max(rank_ub, 1))) \
+            if opts.low_rank_start_weight < 0 else \
+            max(opts.low_rank_start_weight, 1)
+        rng = np.random.default_rng(0xD1CE)
+        from .dense.rowrref import CompactBasis
+        basis = CompactBasis(M, prime)
+        cand_mask_d = None
+        processed = 0
+        rounds = 0
+        log.info("[finish/device] %s mode: %d rows x %d free cols, "
+                 "block %d", "lowrank" if lowrank else "rows", n, nq, B)
+        while rank_ub > 0:
+            if lowrank:
+                N = min(B, rank_ub + 64)
+                sel = p[rng.integers(0, n, size=(N, w))]
+                coeffs = rng.integers(1, prime, size=(N, w))
+                coeffs = self.field.narray(coeffs).astype(np.int32)
+                coeffs[:, 0] = 1
+                Xd = dcsr.combine(sel, coeffs, Np=_size_bucket(N, 64))
+            else:
+                N = min(B, n - processed)
+                if N <= 0:
+                    break
+                Xd = dcsr.densify(p[processed:processed + N],
+                                  Bp=_size_bucket(N, 64))
+                processed += N
+            # full-width structural elimination, then compact to the
+            # free columns and eliminate the finisher basis there (its
+            # pivots all live on free columns — no full-width gather).
+            # No coefficient parking (no L here) and no empty-chunk
+            # conds: the blocks are dense in the coefficient columns.
+            Xd = self.elim.eliminate_device(Xd, park=False,
+                                            skip_empty=False)
+            Xq = Xd[:, qsel_d]
+            del Xd          # free the full-width block before the RREF
+            Xq = basis.apply(Xq)
+            Xq, pivcol = rref_rows_device(Xq, prime, nb=128)
+            hit = np.nonzero(pivcol >= 0)[0]
+            rr = hit.size
+            if rr:
+                # pad the new chunk to a row bucket (dead rows pivot at
+                # the dead column) to bound compile variants
+                Kp = _size_bucket(rr, 64)
+                hit_p = np.zeros(Kp, np.int64)
+                hit_p[:rr] = hit
+                Rd = Xq[jnp.asarray(hit_p)]
+                Rd = Rd * (jnp.arange(Kp) < rr)[:, None].astype(Rd.dtype)
+                jpos = np.full(Kp, M - 1, np.int64)
+                jpos[:rr] = pivcol[hit]
+                basis.add(Rd, jpos)
+                rank_ub -= rr
+            rounds += 1
+            log.info("[finish/device] round %d: %d rows -> %d new pivots",
+                     rounds, N, rr)
+            if lowrank and rank_ub > 0 and rr < 0.9 * N:
+                if cand_mask_d is None:
+                    mask = np.zeros(S.n, bool)
+                    mask[p[:n]] = True
+                    cand_mask_d = jnp.asarray(mask)
+                if self._completion_device(dcsr, cand_mask_d, qsel_d,
+                                           basis, rounds):
+                    break
+                log.info("[finish/device] completion test failed; "
+                         "weight %d -> %d", w, 2 * w)
+                w = min(2 * w, max(n, 1))
+        # register the basis (final back-reduced versions) into U; the
+        # engine's eliminator gets the chunks too so later engine stages
+        # (host finishers, schur) see the full pivot set
+        for Rd, jd in basis.chunks:
+            jpos = np.asarray(jd)
+            real = jpos < M - 1
+            if not np.any(real):
+                continue
+            jr = jpos[real]
+            Rr = Rd[jnp.asarray(np.nonzero(real)[0])]
+            self.elim.append_device_chunk(Rr, q_ext, jr, dead_col=True)
+            self.U.add_dense_rows_device(Rr, q_ext, q_ext[jr])
+        log.info("[finish/device] done in %.1fs, %d new pivots",
+                 time.time() - t0, self.U.n - old_un)
+
     @annotate("finish_gplu")
     def finish_gplu(self, S: CSR, p: np.ndarray, n: int, p_in):
         """Sparse Gilbert-Peierls finisher with leftmost pivoting and
@@ -702,6 +868,19 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                 break
             log.info("[echelonize] round %d", rnd)
             npiv, p = eng.extract_structural(S, p_in)
+            # TPU-first policy: once the free-column count fits a dense
+            # device block, the remaining rank belongs on the MXU —
+            # skip further sparse Schur rounds (each would eliminate
+            # EVERY remaining row just to look for more structural
+            # pivots; the device finisher touches ~rank rows instead)
+            nfree = m - eng.U.n
+            if (not opts.L and opts.enable_dense
+                    and 0 < nfree <= opts.device_dense_width
+                    and (S.n - npiv) * nfree >= opts.device_dense_min):
+                log.info("[echelonize] %d free columns fit the device "
+                         "finisher; skipping sparse rounds", nfree)
+                status = 3
+                break
             if npiv < opts.min_pivot_proportion * min(S.n, m - eng.U.n):
                 log.info("[echelonize] not enough pivots found; stopping")
                 status = 2
@@ -762,10 +941,21 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
         aspect = nrem / max(m - eng.U.n, 1)
         log.info("[echelonize] finishing; density=%.3f aspect=%.1f",
                  density, aspect)
+        nfree = m - eng.U.n
+        use_device_finish = (
+            status == 3
+            or (not opts.L and opts.enable_dense
+                and 0 < nfree <= opts.device_dense_width
+                and nrem * nfree >= opts.device_dense_min
+                and (density > opts.sparsity_threshold
+                     or (opts.enable_tall_and_skinny
+                         and aspect > opts.tall_and_skinny_ratio))))
         if resume_phase == ckpt.PHASE_DENSE:
             # re-enter the blocked dense finisher where it left off
             eng.finish_dense(S, p[npiv:], nrem, p_in, checkpoint_cb=cb,
                              processed=dense_processed)
+        elif use_device_finish:
+            eng.finish_device_dense(S, p[npiv:], nrem)
         elif (opts.enable_tall_and_skinny
                 and aspect > opts.tall_and_skinny_ratio):
             eng.finish_dense_lowrank(S, p[npiv:], nrem)

@@ -93,6 +93,9 @@ def _load():
     lib.spasm_topo_order.restype = ctypes.c_int64
     lib.spasm_topo_order.argtypes = [
         I64, I32, ctypes.c_int32, ctypes.c_int32, I64, I64, I64]
+    lib.spasm_row_levels.argtypes = [
+        I64, I32, ctypes.c_int32, ctypes.c_int32, I64, ctypes.c_int64,
+        I64, I64]
     _lib = lib
     HAVE_NATIVE = True
 
@@ -208,6 +211,16 @@ def topo_order(A, pinv: np.ndarray, qinv: np.ndarray) -> np.ndarray:
         _p64(_arr64(pinv)), _p64(_arr64(qinv)),
         _p64(p if A.n else _EMPTY64))
     return p
+
+
+def row_levels(A, rows: np.ndarray, pinv: np.ndarray) -> np.ndarray:
+    npiv = int(np.asarray(rows).size)
+    rows = _arr64(rows)
+    out = np.zeros(max(npiv, 1), np.int64)
+    _lib.spasm_row_levels(
+        _p64(_arr64(A.indptr)), _p32(_arr32(A.indices)), A.n, A.m,
+        _p64(rows), npiv, _p64(_arr64(pinv)), _p64(out))
+    return out[:npiv]
 
 
 def matching(A) -> Tuple[int, np.ndarray, np.ndarray]:

@@ -555,6 +555,30 @@ i64 spasm_topo_order(const i64 *Ap, const i32 *Aj, i32 n, i32 m,
     return npiv;
 }
 
-i32 spasm_native_version() { return 2; }
+// Topological levels of pivotal rows (dependency DAG scheduling).
+//
+// Input: pivotal rows `rows` (npiv, in a valid topological order: a
+// row's support only contains pivot columns of rows at the same index
+// or later), their pivot columns pinv.  Output levels: rows in the same
+// level never contain each other's pivot columns, so a level can be
+// applied to a dense block as ONE batched elimination with no
+// intra-chunk composition (see dense/block.py).  O(nnz) forward pass.
+void spasm_row_levels(const i64 *Aptr, const i32 *Aidx, i32 n, i32 m,
+                      const i64 *rows, i64 npiv, const i64 *pinv,
+                      i64 *levels) {
+    std::vector<i64> col2k(m, -1);
+    for (i64 k = 0; k < npiv; ++k) col2k[pinv[rows[k]]] = k;
+    for (i64 k = 0; k < npiv; ++k) levels[k] = 0;
+    for (i64 k = 0; k < npiv; ++k) {
+        const i64 i = rows[k];
+        const i64 lk = levels[k] + 1;
+        for (i64 px = Aptr[i]; px < Aptr[i + 1]; ++px) {
+            const i64 t = col2k[Aidx[px]];
+            if (t > k && levels[t] < lk) levels[t] = lk;
+        }
+    }
+}
+
+i32 spasm_native_version() { return 3; }
 
 }  // extern "C"

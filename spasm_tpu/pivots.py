@@ -216,14 +216,46 @@ def topo_order_pivots(A: CSR, pinv: np.ndarray, qinv: np.ndarray,
     return p
 
 
+def row_levels(A: CSR, rows: np.ndarray, pinv: np.ndarray) -> np.ndarray:
+    """Topological levels of pivotal rows (TPU-build extension).
+
+    `rows` must be in a valid topological order (a row's support only
+    contains pivot columns of rows at the same index or later).  Rows in
+    the same level never contain each other's pivot columns, so a level
+    can be eliminated from a dense block as ONE batched update with no
+    intra-chunk (I+W)^-1 composition (dense/block.py) — the device
+    analog of level-scheduled sparse triangular solves.
+    """
+    from . import native
+    rows = np.asarray(rows, np.int64)
+    npiv = rows.size
+    if npiv == 0:
+        return np.zeros(0, np.int64)
+    if native.HAVE_NATIVE:
+        return native.row_levels(A, rows, pinv)
+    col2k = np.full(A.m, -1, np.int64)
+    col2k[np.asarray(pinv)[rows]] = np.arange(npiv)
+    lev = np.zeros(npiv, np.int64)
+    indptr, indices = A.indptr, A.indices
+    for k in range(npiv):
+        t = col2k[indices[indptr[rows[k]]:indptr[rows[k] + 1]]]
+        t = t[t > k]
+        if t.size:
+            np.maximum.at(lev, t, lev[k] + 1)
+    return lev
+
+
 def find_structural_pivots(A: CSR, enable_greedy: bool = True,
                            greedy_work_budget: int = -1
                            ) -> Tuple[int, np.ndarray, np.ndarray,
-                                      np.ndarray]:
-    """All passes + topological reorder.
+                                      np.ndarray, np.ndarray]:
+    """All passes + topological reorder + level scheduling.
 
-    Returns (npiv, p, pinv, qinv): p puts pivotal rows first in topological
-    order; pinv[i] / qinv[j] locate the pivots (-1 if none).
+    Returns (npiv, p, pinv, qinv, levels): p puts pivotal rows first in
+    level-major topological order (a valid topological order in which
+    rows of equal level are consecutive — maximizing the number of
+    composition-free eliminator chunks); levels[k] is the level of row
+    p[k] (k < npiv); pinv[i] / qinv[j] locate the pivots (-1 if none).
     greedy_work_budget: -1 = auto (32 * nnz), 0 = unlimited, else cap.
     """
     n, m = A.n, A.m
@@ -236,4 +268,9 @@ def find_structural_pivots(A: CSR, enable_greedy: bool = True,
             else greedy_work_budget
         npiv += find_cycle_free_pivots(A, pinv, qinv, budget)
     p = topo_order_pivots(A, pinv, qinv, npiv)
-    return npiv, p, pinv, qinv
+    lev = row_levels(A, p[:npiv], pinv)
+    if npiv:
+        order = np.argsort(lev, kind="stable")
+        p[:npiv] = p[:npiv][order]
+        lev = lev[order]
+    return npiv, p, pinv, qinv, lev
