@@ -127,8 +127,8 @@ def _apply_chunk(X, cols, jpos, V, p, weights, d: int, park: bool = True):
     """
     Xc = X[:, cols]                                   # (B, |C|)
     F = Xc[:, jpos]                                   # (B, K) current coeffs
-    delta = matmul_digits(F, V, p, weights, d)        # (B, |C|)
-    Xc = _submod(Xc, delta, p, d == 2)
+    delta = matmul_digits(F.astype(jnp.int32), V, p, weights, d)
+    Xc = _submod(Xc, delta, p, d == 2).astype(X.dtype)
     if park:
         Xc = Xc.at[:, jpos].set(F)  # park coefficients on pivot columns
     return X.at[:, cols].set(Xc)
@@ -154,8 +154,8 @@ def _apply_chunk_run(X, cols, jpos, V, p, weights, d: int,
         F = Xc[:, j]
 
         def live(X):
-            delta = matmul_digits(F, v, p, weights, d)
-            Xc2 = _submod(Xc, delta, p, d == 2)
+            delta = matmul_digits(F.astype(jnp.int32), v, p, weights, d)
+            Xc2 = _submod(Xc, delta, p, d == 2).astype(X.dtype)
             if park:
                 Xc2 = Xc2.at[:, j].set(F)
             return X.at[:, c].set(Xc2)

@@ -58,7 +58,10 @@ def _mulsub(v, P, g, piv, p, small: bool, rounds: int):
     otherwise: int64 products < 2^62, Barrett rounds as given.
     """
     if small:
-        x = v.astype(jnp.int32) * P - g * piv
+        # explicit int32 casts: int16 operands (the small-prime block
+        # dtype) would otherwise multiply in int16 and overflow
+        x = (v.astype(jnp.int32) * P.astype(jnp.int32)
+             - g.astype(jnp.int32) * piv.astype(jnp.int32))
         return _reduce31(x, p)
     x = (v.astype(jnp.int64) * P.astype(jnp.int64)
          - g.astype(jnp.int64) * piv.astype(jnp.int64))

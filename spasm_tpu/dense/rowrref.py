@@ -70,7 +70,8 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
         pcs = jnp.where(pivcol >= 0, pivcol, M - 1)
         C = P[:, pcs]                                     # (nb, B)
         C = jnp.where(((iota_B < q0) & (pivcol >= 0))[None, :], C, 0)
-        P = _submod(P, matmul_digits(C, X, p, weights, d), p, small)
+        delta = matmul_digits(C.astype(jnp.int32), X, p, weights, d)
+        P = _submod(P, delta, p, small).astype(X.dtype)
 
         def step(k, c):
             P, pivl = c
@@ -80,7 +81,8 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
             j = jnp.argmax(nz)
             v = jnp.where(has, u[j], 1)
             g = jnp.where((iota_nb != k) & has, P[:, j], 0)
-            P = _mulsub(v, P, g[:, None], u[None, :], p, small, rounds)
+            P = _mulsub(v, P, g[:, None], u[None, :], p, small,
+                        rounds).astype(X.dtype)
             pivl = pivl.at[k].set(jnp.where(has, j, -1).astype(jnp.int32))
             return P, pivl
 
@@ -89,7 +91,8 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
         # normalize panel pivot rows (one batched Fermat inversion)
         pv = P[iota_nb, jnp.where(pivl >= 0, pivl, M - 1)]
         inv = dnorm64(modinv(jnp.where(pivl >= 0, pv, 1), p), p)
-        P = _scale_rows(inv.astype(jnp.int32), P, p, small, rounds)
+        P = _scale_rows(inv.astype(jnp.int32), P, p, small,
+                        rounds).astype(X.dtype)
         X = jax.lax.dynamic_update_slice(X, P, (q0, 0))
         # back-reduce every prior row against the panel's new pivots so
         # the processed prefix stays fully RREF
@@ -97,7 +100,9 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
         C2 = X[:, pcs2]                                   # (B, nb)
         inpanel = (iota_B >= q0) & (iota_B < q0 + nb)
         C2 = jnp.where((~inpanel[:, None]) & (pivl >= 0)[None, :], C2, 0)
-        X = _submod(X, matmul_digits(C2, P, p, weights, d), p, small)
+        delta2 = matmul_digits(C2.astype(jnp.int32), P.astype(jnp.int32),
+                               p, weights, d)
+        X = _submod(X, delta2, p, small).astype(X.dtype)
         pivcol = jax.lax.dynamic_update_slice(pivcol, pivl, (q0,))
         return X, pivcol
 
@@ -106,10 +111,15 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
 
 
 def rref_rows_device(Xd, p: int, nb: int = 64):
-    """Host-facing wrapper.  Xd: (B, M) int32 device array, B % nb == 0,
-    last column dead.  Returns (Xd', pivcol (B,) np.ndarray)."""
+    """Host-facing wrapper.  Xd: (B, M) device array, last column dead.
+    Returns (Xd', pivcol (B,) np.ndarray).  nb is clamped so it divides
+    B (all row buckets are powers of two or multiples of 512)."""
     from .modp import device_field
     F = device_field(p)
+    B = Xd.shape[0]
+    nb = min(nb, B)
+    while B % nb:
+        nb //= 2
     Xd, pivcol = _rref_rows(Xd, jnp.int64(p), jnp.asarray(F.weights),
                             F.ndigits, nb, p <= (1 << 23))
     return Xd, np.asarray(pivcol)
@@ -125,7 +135,10 @@ def _basis_apply(X, R, jpos, p, weights, d: int):
     """
     C = X[:, jpos]                                    # (B, K)
     small = d == 2
-    return _submod(X, matmul_digits(C, R, p, weights, d), p, small)
+    delta = matmul_digits(C.astype(jnp.int32),
+                          R if R.dtype == jnp.int8 else
+                          R.astype(jnp.int32), p, weights, d)
+    return _submod(X, delta, p, small).astype(X.dtype)
 
 
 class CompactBasis:

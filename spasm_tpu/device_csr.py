@@ -41,11 +41,14 @@ def _bucket_pow2(x: int, lo: int = 256) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("Bp", "mp", "maxlen"))
+@functools.partial(jax.jit,
+                   static_argnames=("Bp", "mp", "maxlen", "dtype"))
 def _densify(indptr, indices, data, rows, nrows, p, Bp: int, mp: int,
-             maxlen: int):
+             maxlen: int, dtype=jnp.int32):
     """Scatter rows into a (Bp, mp) dense block.  Row entry slots beyond
-    the row's length scatter into the dead column mp-1 with value 0."""
+    the row's length scatter into the dead column mp-1 with value 0.
+    dtype=int16 for primes <= 65279 (balanced values fit; every gather,
+    scatter and slab pass downstream moves half the bytes)."""
     starts = indptr[rows]                              # (Bp,)
     lens = indptr[rows + 1] - starts
     k = jnp.arange(maxlen)
@@ -55,14 +58,15 @@ def _densify(indptr, indices, data, rows, nrows, p, Bp: int, mp: int,
     idx = jnp.where(live, idx, 0)
     cols = jnp.where(live, indices[idx], mp - 1)
     vals = jnp.where(live, data[idx], 0)
-    X = jnp.zeros((Bp, mp), jnp.int32)
+    X = jnp.zeros((Bp, mp), dtype)
     gi = jnp.broadcast_to(jnp.arange(Bp)[:, None], cols.shape)
-    return X.at[gi, cols].add(vals.astype(jnp.int32))
+    return X.at[gi, cols].add(vals.astype(dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("Np", "mp", "maxlen", "w"))
+@functools.partial(jax.jit,
+                   static_argnames=("Np", "mp", "maxlen", "w", "dtype"))
 def _combine(indptr, indices, data, sel, coeffs, p, Np: int, mp: int,
-             maxlen: int, w: int):
+             maxlen: int, w: int, dtype=jnp.int32):
     """X[i] = sum_t coeffs[i, t] * A[sel[i, t]]  into (Np, mp)."""
     starts = indptr[sel]                               # (Np, w)
     lens = indptr[sel + 1] - starts
@@ -79,7 +83,7 @@ def _combine(indptr, indices, data, sel, coeffs, p, Np: int, mp: int,
     X = X.at[gi, cols].add(vals)
     # sparse-weight combinations only sum a handful of balanced values;
     # one reduction keeps everything balanced for downstream kernels
-    return dnorm64(X, p).astype(jnp.int32)
+    return dnorm64(X, p).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("mp",))
@@ -124,6 +128,9 @@ class DeviceCSR:
         lens = np.diff(A.indptr)
         self.maxlen = int(lens.max()) if A.n else 0
         self.p64 = jnp.int64(A.prime)
+        # balanced values |x| <= p//2 fit int16 for every p <= 65535
+        # (independent of the digit tier: d only drives the arithmetic)
+        self.block_dtype = jnp.int16 if A.prime <= 65535 else jnp.int32
 
     def densify(self, rows: np.ndarray, Bp: Optional[int] = None):
         """Dense (Bp, mp) block of the given rows (device array).
@@ -139,7 +146,7 @@ class DeviceCSR:
         rp[:B] = rows
         X = _densify(self.indptr, self.indices, self.data,
                      jnp.asarray(rp), B, self.p64, Bp, self.mp,
-                     max(self.maxlen, 1))
+                     max(self.maxlen, 1), self.block_dtype)
         from .parallel.context import shard_rows
         return shard_rows(X)
 
@@ -158,7 +165,8 @@ class DeviceCSR:
         cp[:N] = coeffs
         X = _combine(self.indptr, self.indices, self.data,
                      jnp.asarray(sp), jnp.asarray(cp), self.p64,
-                     Np, self.mp, max(self.maxlen, 1), w)
+                     Np, self.mp, max(self.maxlen, 1), w,
+                     self.block_dtype)
         from .parallel.context import shard_rows
         return shard_rows(X)
 

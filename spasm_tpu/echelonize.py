@@ -75,6 +75,10 @@ class EchelonizeOptions:
     # Minimum remaining work (rows * free columns) before the device
     # finisher pays for its dispatches; below it the host paths win.
     device_dense_min: int = 1 << 22
+    # HBM budget (bytes) for the finisher's accumulated basis
+    # (~ free_cols * remaining_rank * itemsize); widths whose basis
+    # would exceed it fall back to the sparse-round / host finishers.
+    device_dense_mem: int = 5 << 30
     # TPU-build extension: mid-engine checkpoint/resume (SURVEY.md §5.4).
     # When set, the engine snapshots its state to this file after every
     # round and every dense-finisher block; re-running with the same input
@@ -874,9 +878,12 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
             # EVERY remaining row just to look for more structural
             # pivots; the device finisher touches ~rank rows instead)
             nfree = m - eng.U.n
+            itemsize = 2 if A.prime <= 65535 else 4
+            basis_bytes = nfree * min(S.n - npiv, nfree) * itemsize
             if (not opts.L and opts.enable_dense
                     and 0 < nfree <= opts.device_dense_width
-                    and (S.n - npiv) * nfree >= opts.device_dense_min):
+                    and (S.n - npiv) * nfree >= opts.device_dense_min
+                    and basis_bytes <= opts.device_dense_mem):
                 log.info("[echelonize] %d free columns fit the device "
                          "finisher; skipping sparse rounds", nfree)
                 status = 3
@@ -887,8 +894,10 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                 break
             U_csr = eng.U.snapshot_csr()
             with phase("density_estimate"):
+                # fresh sample rows every round (the reference samples
+                # through its PRNG, spasm_schur.c:24)
                 density = estimate_density(S, p[npiv:], S.n - npiv, U_csr,
-                                           eng.U.qinv, 100)
+                                           eng.U.qinv, 100, seed=1 + rnd)
             if density > opts.sparsity_threshold:
                 log.info("[echelonize] Schur complement is dense (%.2f%%)",
                          100 * density)
@@ -942,11 +951,14 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
         log.info("[echelonize] finishing; density=%.3f aspect=%.1f",
                  density, aspect)
         nfree = m - eng.U.n
+        itemsize = 2 if A.prime <= 65535 else 4
         use_device_finish = (
             status == 3
             or (not opts.L and opts.enable_dense
                 and 0 < nfree <= opts.device_dense_width
                 and nrem * nfree >= opts.device_dense_min
+                and nfree * min(nrem, nfree) * itemsize
+                <= opts.device_dense_mem
                 and (density > opts.sparsity_threshold
                      or (opts.enable_tall_and_skinny
                          and aspect > opts.tall_and_skinny_ratio))))

@@ -13,6 +13,5 @@ here the same row-parallel regions become SPMD device programs:
   * reductions (rank counts, completion tests) ride psum.
 """
 
-from .dist import (make_mesh, shard_rows, replicate,            # noqa: F401
-                   distributed_block_eliminate,
-                   distributed_round_step)
+from .dist import make_mesh, shard_rows, replicate              # noqa: F401
+from .context import use_mesh, current_mesh                     # noqa: F401

@@ -88,9 +88,58 @@ def _block_rows_device(A: CSR, rows: np.ndarray, Bp: int, mp: int):
 _DEVICE_THRESHOLD = 1 << 21    # rows*m below this: scalar host path wins
 
 
+def _jit_live_count():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _live_count(Xd, nrows, m):
+        live = Xd != 0
+        live = live & (jnp.arange(Xd.shape[0]) < nrows)[:, None]
+        live = live & (jnp.arange(Xd.shape[1]) < m)[None, :]
+        return live, jnp.sum(live)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def _pack(Xd, live, cap: int):
+        r, c = jnp.nonzero(live, size=cap, fill_value=0)
+        return r.astype(jnp.int32), c.astype(jnp.int32), Xd[r, c]
+
+    return _live_count, _pack
+
+
+_PACK_FNS = None
+
+
+def _pack_nonzero_device(Xd, nrows: int, m: int):
+    """Pack the nonzero entries of Xd[:nrows, :m] into flat (rows, cols,
+    vals) numpy arrays, row-major sorted.
+
+    The dense block never crosses device->host — only one count scalar
+    and the packed entries (capacity-bucketed so compile variants stay
+    bounded; never retried: the cap comes from the exact count).
+    """
+    global _PACK_FNS
+    if _PACK_FNS is None:
+        _PACK_FNS = _jit_live_count()
+    _live_count, _pack = _PACK_FNS
+    live, cnt = _live_count(Xd, nrows, m)
+    cnt = int(cnt)
+    if cnt == 0:
+        e = np.empty(0, np.int32)
+        return e, e, e
+    cap = 256
+    while cap < cnt:
+        cap <<= 1
+    r, c, v = _pack(Xd, live, cap)
+    return (np.asarray(r)[:cnt], np.asarray(c)[:cnt],
+            np.asarray(v)[:cnt].astype(np.int32))
+
+
 def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
                  L, p_in: Optional[np.ndarray],
-                 eliminator=None, block_size: int = 256,
+                 eliminator=None, block_size: int = 2048,
                  use_device="auto") -> Tuple[CSR, np.ndarray]:
     """Schur complement of rows p[0:n] of A w.r.t. the pivots in fact.U.
 
@@ -98,42 +147,57 @@ def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
     columns; row k of S corresponds to original row p_out[k].
     Elimination coefficients are appended to the L builder when present.
     (reference: spasm_schur, spasm_schur.c:61-193)
+
+    Device path (any width): rows densify ON DEVICE from a one-time
+    upload of A's entries, eliminate against the chunked basis, and come
+    back as packed nonzeros (bulk, no per-row work on either side).
     """
     qinv = fact.qinv
     U = fact.U
     m = A.m
     rows_out: List[tuple] = []
     p_out = np.empty(n, dtype=np.int64)
-    lrows: List[np.ndarray] = []
 
     if use_device == "auto":
-        # dense row blocks only pay off when the accumulator width is
-        # moderate: for very wide sparse matrices the B x m densification
-        # and transfers dominate and the batched native solver wins
-        use_device = n * m >= _DEVICE_THRESHOLD and m <= (1 << 16)
+        use_device = n * m >= _DEVICE_THRESHOLD
     if use_device and eliminator is not None and eliminator.nrows > 0:
         from .dense.elim import _size_bucket
-        Bp = _size_bucket(block_size, 8)
+        from .device_csr import DeviceCSR
+        # block height bounded by an element budget on the padded block
         mp = _size_bucket(m + 1, 64)
+        bs = block_size
+        while bs > 256 and bs * mp > (256 << 20):
+            bs //= 2
+        dcsr = DeviceCSR(A, mp=mp)
         piv_mask = qinv >= 0
-        for b0 in range(0, n, block_size):
-            idx = p[b0:b0 + block_size].astype(np.int64)
-            # densify + eliminate on device; only the block's sparse
-            # entries go up and the eliminated block comes down
-            Xd = _block_rows_device(A, idx, Bp, mp)
+        tri_r: List[np.ndarray] = []       # flat triplets of S
+        tri_c: List[np.ndarray] = []
+        tri_v: List[np.ndarray] = []
+        counts = np.zeros(n, np.int64)
+        for b0 in range(0, n, bs):
+            idx = p[b0:b0 + bs].astype(np.int64)
+            Xd = dcsr.densify(idx, Bp=_size_bucket(len(idx), 8))
             Xd = eliminator.eliminate_device(Xd)
-            X = np.asarray(Xd[:len(idx), :m])
-            for k, i in enumerate(idx):
-                iorig = int(p_in[i]) if p_in is not None else int(i)
-                p_out[b0 + k] = iorig
-                nz = np.nonzero(X[k])[0]
-                coeffs = nz[piv_mask[nz]]
-                resid = nz[~piv_mask[nz]]
-                rows_out.append((resid.astype(np.int32),
-                                 X[k, resid].astype(np.int32)))
-                if L is not None and coeffs.size:
-                    L.add_batch(np.full(coeffs.size, iorig, np.int64),
-                                qinv[coeffs], X[k, coeffs])
+            r, c, v = _pack_nonzero_device(Xd, len(idx), m)
+            piv = piv_mask[c]
+            iorigs = (np.asarray(p_in, np.int64)[idx]
+                      if p_in is not None else idx)
+            p_out[b0:b0 + len(idx)] = iorigs
+            rs = r[~piv]
+            np.add.at(counts, b0 + rs.astype(np.int64), 1)
+            tri_r.append(b0 + rs.astype(np.int64))
+            tri_c.append(c[~piv])
+            tri_v.append(v[~piv])
+            if L is not None and np.any(piv):
+                L.add_batch(iorigs[r[piv].astype(np.int64)],
+                            qinv[c[piv]], v[piv])
+        # assemble S directly from row-major-sorted triplets
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        S = CSR(n, m, A.field, indptr,
+                np.concatenate(tri_c) if tri_c else np.empty(0, np.int32),
+                np.concatenate(tri_v) if tri_v else np.empty(0, np.int32))
+        return S, p_out
     else:
         solved = solve_rows(U, A, p[:n], qinv, A.prime)
         for k, (cols, vals) in enumerate(solved):

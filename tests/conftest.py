@@ -42,3 +42,9 @@ def fixture_path(name: str) -> pathlib.Path:
 ALL_TEST_MATRICES = sorted(p.name for p in MATRIX.glob("*.sms")
                            if p.name not in ("trefethen_2000.sms",
                                              "tridiagonal.sms"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: large end-to-end instances (run explicitly or "
+        "in full CI; deselect with -m 'not slow')")

@@ -5,9 +5,7 @@ import pytest
 import jax
 
 from spasm_tpu.field import Field
-from spasm_tpu.parallel.dist import (make_mesh, distributed_round_step,
-                                     distributed_block_eliminate)
-from spasm_tpu.dense.block import UEliminator
+from spasm_tpu.parallel.dist import make_mesh
 from spasm_tpu.dense.elim import dense_rref
 
 
@@ -23,37 +21,27 @@ def test_mesh_shape(mesh):
     assert set(mesh.axis_names) == {"rows", "cols"}
 
 
-def test_distributed_round_matches_single(mesh):
+def test_device_finisher_on_mesh_matches(mesh):
+    """The device-resident dense finisher (combination forming, chunked
+    elimination, compaction, row-sweep RREF) under an active mesh gives
+    the same rank as the single-device run."""
+    from spasm_tpu.csr import COO
+    from spasm_tpu.echelonize import echelonize, EchelonizeOptions
+    from spasm_tpu.parallel.context import use_mesh
     p = 42013
-    rng = np.random.default_rng(0)
-    S = rng.integers(-p // 2, p // 2 + 1, (64, 128)).astype(np.int32)
-    S2, cnt = distributed_round_step(mesh, S, p, nb=64)
-    # the first panel of a full-rank random matrix yields 64 pivots
-    assert cnt == 64
-    # compare against the single-device elimination of the same panel:
-    # pivots of the first 64 columns must match the RREF rank profile
-    R, pivcols = dense_rref(S, p, force="host")
-    assert np.all(pivcols[:cnt] == np.arange(64))
-
-
-def test_distributed_block_eliminate_matches(mesh):
-    p = 65537
-    rng = np.random.default_rng(1)
-    m = 256
-    elim = UEliminator(m, p)
-    F = Field(p)
-    rows = []
-    for k in range(32):
-        cols = np.asarray(sorted({k, (3 * k + 7) % m, (5 * k + 11) % m}),
-                          np.int64)
-        vals = F.narray(rng.integers(1, p, cols.size))
-        vals[np.searchsorted(cols, k)] = 1      # unit pivot at column k
-        rows.append((cols, vals.astype(np.int32), k))
-    elim.append_rows(rows)
-    X = rng.integers(-p // 2, p // 2 + 1, (16, m)).astype(np.int32)
-    want = elim.eliminate(X.copy())
-    got = distributed_block_eliminate(mesh, X.copy(), elim)
-    assert np.array_equal(got, want)
+    rng = np.random.default_rng(3)
+    n = m = 256
+    rows = np.repeat(np.arange(n), 4)
+    cols = rng.integers(0, m, n * 4)
+    vals = rng.integers(1, p, n * 4)
+    T = COO.from_entries(n, m, p, rows, cols, vals)
+    T.n, T.m = n, m
+    A = T.tocsr()
+    opts = EchelonizeOptions(device_dense_min=0)   # force the finisher
+    ref = echelonize(A.copy(), opts).r
+    with use_mesh(mesh):
+        got = echelonize(A.copy(), opts).r
+    assert got == ref
 
 
 def test_echelonize_on_mesh_matches(mesh, matrix_dir):
