@@ -158,12 +158,20 @@ class CompactBasis:
         self.chunks = []          # (Rd (K, M), jpos_dev (K,))
         self.nrows = 0
 
+    # Drain the device queue every few chunk applications: dispatch is
+    # fully async and each application allocates multi-hundred-MB
+    # temporaries (int64-emulated for d >= 3), so an unbounded queue of
+    # in-flight programs can exhaust HBM even though each one fits.
+    _DRAIN_EVERY = 4
+
     def apply(self, X):
         """Eliminate every basis pivot from X (B, M).  Consumes X."""
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        for Rd, jd in self.chunks:
+        for i, (Rd, jd) in enumerate(self.chunks):
             X = _basis_apply(X, Rd, jd, p64, w, self.F.ndigits)
+            if (i + 1) % self._DRAIN_EVERY == 0:
+                np.asarray(X[:1, :1])
         return X
 
     def add(self, Rd, jpos: np.ndarray):
@@ -172,8 +180,12 @@ class CompactBasis:
         jd = jnp.asarray(np.asarray(jpos, np.int64))
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        self.chunks = [
-            (_basis_apply(Ri, Rd, jd, p64, w, self.F.ndigits), ji)
-            for Ri, ji in self.chunks]
+        out = []
+        for i, (Ri, ji) in enumerate(self.chunks):
+            out.append((_basis_apply(Ri, Rd, jd, p64, w, self.F.ndigits),
+                        ji))
+            if (i + 1) % self._DRAIN_EVERY == 0:
+                np.asarray(out[-1][0][:1, :1])
+        self.chunks = out
         self.chunks.append((Rd, jd))
         self.nrows += int(np.asarray(jpos).size)

@@ -629,11 +629,15 @@ class _Engine:
         aspect = n / max(nq, 1)
         lowrank = (opts.enable_tall_and_skinny
                    and aspect > opts.tall_and_skinny_ratio)
-        # block height: HBM element budget on the full-width block (the
-        # row-sweep RREF is also fastest near 4096: its left-looking
+        # block height: HBM budget on the full-width block, including
+        # the arithmetic tier's temporaries (d >= 3 runs int64-emulated
+        # reductions whose live temps are ~4x the d = 2 path); the
+        # row-sweep RREF is also fastest near 4096 (its left-looking
         # panel matmuls re-read the block once per panel, O(B^2 M))
+        tier_bytes = 8 if dcsr.F.ndigits == 2 else 32
         B = 1024
-        while B < rank_ub + 64 and 2 * B * mp <= (640 << 20) and B < 4096:
+        while B < rank_ub + 64 and B * mp * tier_bytes <= (6 << 30) \
+                and B < 4096:
             B <<= 1
         w = int(np.ceil(-np.log(0.01) * n / max(rank_ub, 1))) \
             if opts.low_rank_start_weight < 0 else \
@@ -879,9 +883,14 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
             # pivots; the device finisher touches ~rank rows instead)
             nfree = m - eng.U.n
             itemsize = 2 if A.prime <= 65535 else 4
+            # the d >= 3 arithmetic tiers run int64-emulated reductions
+            # whose temporaries (and compile times) grow steeply with
+            # width: cap them at a quarter of the d = 2 width
+            wcap = opts.device_dense_width if itemsize == 2 \
+                else opts.device_dense_width // 4
             basis_bytes = nfree * min(S.n - npiv, nfree) * itemsize
             if (not opts.L and opts.enable_dense
-                    and 0 < nfree <= opts.device_dense_width
+                    and 0 < nfree <= wcap
                     and (S.n - npiv) * nfree >= opts.device_dense_min
                     and basis_bytes <= opts.device_dense_mem):
                 log.info("[echelonize] %d free columns fit the device "
@@ -952,10 +961,12 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                  density, aspect)
         nfree = m - eng.U.n
         itemsize = 2 if A.prime <= 65535 else 4
+        wcap = opts.device_dense_width if itemsize == 2 \
+            else opts.device_dense_width // 4
         use_device_finish = (
             status == 3
             or (not opts.L and opts.enable_dense
-                and 0 < nfree <= opts.device_dense_width
+                and 0 < nfree <= wcap
                 and nrem * nfree >= opts.device_dense_min
                 and nfree * min(nrem, nfree) * itemsize
                 <= opts.device_dense_mem
