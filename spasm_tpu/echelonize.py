@@ -12,9 +12,15 @@ Round loop (defaults mirror spasm_echelonize_init_opts,
 spasm_echelonize.c:9-28): find structural pivots -> stop if too few
 (min_pivot_proportion) or the Schur complement is too dense
 (sparsity_threshold) or max_round reached -> else compute the sparse Schur
-complement and iterate on it.  Finalization: aspect ratio >
-tall_and_skinny_ratio -> randomized low-rank; density > threshold ->
-blocked dense; else GPLU.
+complement and iterate on it.  TPU-first extension: as soon as the
+free-column count fits a dense device block (device_dense_width), the
+round loop stops and the DEVICE-RESIDENT finisher takes over — one
+upload of the matrix entries, then combination forming, chunked
+elimination, compaction and row-sweep RREF entirely on device, with
+only pivot-column maps crossing back.  Classic finalization (aspect
+ratio > tall_and_skinny_ratio -> randomized low-rank; density >
+threshold -> blocked dense; else GPLU) remains for L-mode, huge widths
+and no-device runs.
 """
 from __future__ import annotations
 
