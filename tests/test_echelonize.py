@@ -152,3 +152,39 @@ def test_schur_scalar_device_agree(matrix_dir, name):
     S2, _ = schur_sparse(A, perm[npiv:], A.n - npiv, fact_view, -1,
                          None, None, eliminator=None, use_device=False)
     assert np.array_equal(S1.todense(), S2.todense())
+
+
+def test_schur_device_wide_matrix():
+    """The device sparse-Schur path at >= 2^18 columns (the round-2
+    ceiling was m <= 65536) matches the scalar oracle."""
+    import numpy as np
+    from spasm_tpu.csr import COO
+    from spasm_tpu.pivots import find_structural_pivots
+    from spasm_tpu.schur import schur_sparse
+    p = 42013
+    m = (1 << 18) + 5
+    n = 192
+    rng = np.random.default_rng(11)
+    rows = np.repeat(np.arange(n, dtype=np.int64), 4)
+    cols = rng.integers(0, m, n * 4)
+    vals = rng.integers(1, p, n * 4)
+    T = COO.from_entries(n, m, p, rows, cols, vals)
+    T.n, T.m = n, m
+    A = T.tocsr()
+    npiv, perm, pinv, qinv, lev = find_structural_pivots(A)
+    assert npiv > 0
+    from spasm_tpu.dense.block import UEliminator
+    from spasm_tpu.echelonize import _Engine, EchelonizeOptions
+    eng = _Engine(A, EchelonizeOptions())
+    npiv2, perm2 = eng.extract_structural(A, None)
+    fact_view = LU(eng.U.n, eng.U.snapshot_csr(), eng.U.qinv)
+    S_dev, p_dev = schur_sparse(A, perm2[npiv2:], A.n - npiv2, fact_view,
+                                -1, None, None, eliminator=eng.elim,
+                                use_device=True)
+    S_host, p_host = schur_sparse(A, perm2[npiv2:], A.n - npiv2,
+                                  fact_view, -1, None, None,
+                                  eliminator=None, use_device=False)
+    assert np.array_equal(p_dev, p_host)
+    assert np.array_equal(S_dev.indptr, S_host.indptr)
+    assert np.array_equal(S_dev.indices, S_host.indices)
+    assert np.array_equal(S_dev.data, S_host.data)
