@@ -110,23 +110,36 @@ def bench_spmv_trisolve():
 
 
 def bench_pluq_gesv_kernel():
-    """Config 4: full PLUQ + system solve + kernel basis."""
+    """Config 4: full PLUQ + system solve + kernel basis.
+
+    gesv: 1024 RHS rows (the reference's row-parallel workhorse,
+    /root/reference/src/spasm_solve.c:52-93).  kernel: a genuinely
+    rank-deficient instance (n x n+512 synthetic, kernel_dim >= 512 —
+    the analog of the reference's kernel.c property tests on singular
+    fixtures)."""
     from spasm_tpu import sio, echelonize, EchelonizeOptions, gesv, kernel
     from spasm_tpu.csr import CSR
+    from spasm_tpu.gen import synthetic_sparse
     A, _ = sio.load_csr("tests/Matrix/medium.sms", 42013)
     t0 = time.time()
     fact = echelonize(A.copy(), EchelonizeOptions(L=True, complete=True))
     pluq_s = time.time() - t0
     rng = np.random.default_rng(1)
-    X = rng.integers(0, 42013, (64, A.n)).astype(np.int64)
+    NRHS = 1024
+    X = rng.integers(0, 42013, (NRHS, A.n)).astype(np.int64)
     B = CSR.from_dense((X @ A.todense().astype(np.int64)) % 42013, 42013)
     t0 = time.time()
     gesv(fact, B)
     gesv_s = time.time() - t0
+    # rank-deficient instance: n x (n + 512) => kernel dim >= 512
+    Ak = synthetic_sparse(2048, 2560, 8, 42013)
+    fk = echelonize(Ak.copy())
     t0 = time.time()
-    K = kernel(fact)
+    K = kernel(fk)
     kernel_s = time.time() - t0
-    return {"pluq_s": round(pluq_s, 3), "gesv64_s": round(gesv_s, 3),
+    assert K.n == Ak.m - fk.r and K.n >= 512
+    return {"pluq_s": round(pluq_s, 3),
+            "gesv_rhs": NRHS, "gesv_s": round(gesv_s, 3),
             "kernel_s": round(kernel_s, 3), "kernel_dim": int(K.n)}
 
 

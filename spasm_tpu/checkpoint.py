@@ -76,7 +76,7 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
     """Atomically snapshot the engine + round-loop state to `path`."""
     eng = engine
     eng.U.flush_device()
-    u_cols, u_vals, u_offs = _pack_rows(eng.U.rows)
+    u_offs, u_cols, u_vals, u_piv, _ = eng.U.flat_store()
     payload = dict(
         version=np.int64(_VERSION),
         fingerprint=np.frombuffer(fingerprint, np.uint8),
@@ -91,7 +91,7 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
         density=np.float64(density),
         processed=np.int64(processed),
         u_cols=u_cols, u_vals=u_vals, u_offs=u_offs,
-        u_pivcol=np.asarray(eng.U.pivcol, np.int64),
+        u_pivcol=np.asarray(u_piv, np.int64),
         qinv=eng.U.qinv,
         Lp=np.asarray(eng.Lp, np.int64),
         s_indptr=S.indptr, s_indices=S.indices, s_data=S.data,
@@ -121,7 +121,7 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
             os.unlink(tmp)
         raise
     log.info("[checkpoint] saved %s (phase=%d rnd=%d rank=%d)",
-             path, phase, rnd, len(eng.U.pivcol))
+             path, phase, rnd, eng.U.n)
 
 
 def load_checkpoint(path: str, fingerprint: bytes, prime: int,
@@ -165,18 +165,19 @@ def load_checkpoint(path: str, fingerprint: bytes, prime: int,
 
 
 def restore_engine(engine, state: dict) -> None:
-    """Rebuild the engine's U/L builders and the device chunk basis."""
+    """Rebuild the engine's U/L builders and the staged chunk basis."""
     eng = engine
-    eng.U.rows = state["rows"]
-    eng.U.pivcol = [int(v) for v in state["u_pivcol"]]
+    offs = state["u_offs"].astype(np.int64)
+    pivcols = state["u_pivcol"].astype(np.int64)
+    eng.U.add_rows_bulk(pivcols, offs, state["u_cols"], state["u_vals"])
     eng.U.qinv = state["qinv"].copy()
     eng.Lp = [int(v) for v in state["Lp"]]
     if eng.L is not None:
         eng.L.rows = [state["l_rows"]]
         eng.L.cols = [state["l_cols"]]
         eng.L.vals = [state["l_vals"]]
-    stage = [(c.astype(np.int64), v, int(c[0])) for c, v in eng.U.rows]
-    eng.elim.append_rows(stage, flush=True)
+    eng.elim.append_segment(offs, state["u_cols"].astype(np.int64),
+                            state["u_vals"], pivcols)
 
 
 def restored_S(state: dict, prime: int) -> CSR:

@@ -43,11 +43,17 @@ class _Run(NamedTuple):
 
     Keeping chunks pre-stacked on device means eliminate() issues ONE
     scan dispatch per run instead of re-stacking host-side every call.
+
+    winv: for a chunk whose rows interact, V = (I+W)^-1 @ U — parking
+    the raw coefficient gather F would record coefficients against the
+    COMPOSED rows; the true per-U-row coefficients are F @ winv.  None
+    for composition-free chunks (winv == I there).
     """
     cols: jnp.ndarray       # (g, Cp) global column ids (padded -> m)
     jpos: jnp.ndarray       # (g, Kp) pivot-column positions inside cols
     V: jnp.ndarray          # (g, Kp, Cp) composed elimination rows
     k: int                  # total real pivot rows across the run
+    winv: Optional[jnp.ndarray] = None   # (Kp, Kp), single-chunk runs
 
 
 def _unit_upper_inverse_log(W, p, weights, d: int):
@@ -106,15 +112,16 @@ def _compose_chunk_entries(rowrep, posidx, vals, jpos, p, weights,
     tri = jnp.triu(jnp.ones((kp, kp), bool), 1)
     W = jnp.where(tri, W, 0)
     Winv = _unit_upper_inverse_log(W, p, weights, d)
-    return matmul_digits(Winv, Ud, p, weights, d)
+    return matmul_digits(Winv, Ud, p, weights, d), Winv
 
 
 from .elim import _submod
 
 
-@functools.partial(jax.jit, static_argnames=("d", "park"),
+@functools.partial(jax.jit, static_argnames=("d", "park", "has_winv"),
                    donate_argnums=(0,))
-def _apply_chunk(X, cols, jpos, V, p, weights, d: int, park: bool = True):
+def _apply_chunk(X, cols, jpos, V, winv, p, weights, d: int,
+                 park: bool = True, has_winv: bool = False):
     """One chunk update on a dense block X (B, m).  X is donated —
     full-width blocks are hundreds of MB and the caller never reuses the
     input (async dispatch would otherwise stack one fresh output per
@@ -124,13 +131,20 @@ def _apply_chunk(X, cols, jpos, V, p, weights, d: int, park: bool = True):
     columns (the scalar-solver convention, needed for L / sparse Schur);
     park=False leaves them zero (V's pivot columns are an embedded
     identity, so the update itself clears them) — the finisher path.
+    For composed chunks (has_winv) the per-U-row coefficients are
+    F @ winv, not the raw gather F.
     """
     Xc = X[:, cols]                                   # (B, |C|)
     F = Xc[:, jpos]                                   # (B, K) current coeffs
     delta = matmul_digits(F.astype(jnp.int32), V, p, weights, d)
     Xc = _submod(Xc, delta, p, d == 2).astype(X.dtype)
     if park:
-        Xc = Xc.at[:, jpos].set(F)  # park coefficients on pivot columns
+        if has_winv:
+            Fp = matmul_digits(F.astype(jnp.int32), winv, p, weights,
+                               d).astype(X.dtype)
+        else:
+            Fp = F
+        Xc = Xc.at[:, jpos].set(Fp)  # park coefficients on pivot columns
     return X.at[:, cols].set(Xc)
 
 
@@ -193,12 +207,28 @@ class UEliminator:
         self.runs: List[_Run] = []
         self._dispatch: Optional[List[_Run]] = None
         self._dispatch_src = 0
-        # staging area for rows not yet composed into a chunk
-        self._stage: List[tuple] = []     # (cols, vals, pivcol)
+        # staged segments not yet composed into chunks:
+        # (offs, cols, vals, pivcols, levels or None) — expanded only
+        # when an elimination actually needs the chunk basis (paths that
+        # never eliminate, e.g. the reduced-basis finisher, pay nothing)
+        self._segments: List[tuple] = []
 
     @property
     def nrows(self) -> int:
-        return sum(r.k for r in self.runs) + len(self._stage)
+        return sum(r.k for r in self.runs) \
+            + sum(len(s[3]) for s in self._segments)
+
+    def append_segment(self, offs, cols, vals, pivcols, levels=None):
+        """Stage a flat bulk of pivot-first rows (value 1 at pivcols[k]);
+        `levels` as in append_rows."""
+        if len(pivcols) == 0:
+            return
+        self._segments.append((np.asarray(offs, np.int64),
+                               np.asarray(cols, np.int64),
+                               np.asarray(vals, np.int32),
+                               np.asarray(pivcols, np.int64),
+                               None if levels is None
+                               else np.asarray(levels, np.int64)))
 
     def append_rows(self, rows, flush: bool = True, levels=None):
         """rows: iterable of (cols int64[], vals int32[], pivcol).
@@ -209,12 +239,27 @@ class UEliminator:
         build wide composition-free chunks (pivots.py:row_levels).
         """
         rows = list(rows)
-        if levels is None:
-            levels = [-1] * len(rows)
-        self._stage.extend(
-            (c, v, pc, int(lv)) for (c, v, pc), lv in zip(rows, levels))
+        if not rows:
+            return
+        offs = np.zeros(len(rows) + 1, np.int64)
+        offs[1:] = np.cumsum([len(c) for c, _, _ in rows])
+        self.append_segment(
+            offs, np.concatenate([c for c, _, _ in rows]),
+            np.concatenate([v for _, v, _ in rows]),
+            np.asarray([pc for _, _, pc in rows], np.int64), levels)
         if flush:
             self.flush()
+
+    def _staged_rows(self):
+        """Expand staged segments to per-row tuples (flush-time only)."""
+        out = []
+        for offs, cols, vals, pivcols, levels in self._segments:
+            for k in range(len(pivcols)):
+                sl = slice(offs[k], offs[k + 1])
+                out.append((cols[sl], vals[sl], int(pivcols[k]),
+                            -1 if levels is None else int(levels[k])))
+        self._segments = []
+        return out
 
     # level-aligned chunks can grow to this many rows (one scan step
     # each); level-unknown or interacting chunks stay at self.chunk so
@@ -222,10 +267,9 @@ class UEliminator:
     _WIDE_CHUNK = 4096
 
     def flush(self):
-        if not self._stage:
+        if not self._segments:
             return
-        stage = self._stage
-        self._stage = []
+        stage = self._staged_rows()
         # partition the stage into chunks: aligned to level boundaries
         # (same-level rows -> no composition, so the wider the better),
         # respecting the dense budget
@@ -259,13 +303,13 @@ class UEliminator:
         # the persistent compile cache makes them one-time-ever costs.
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        pending: List[tuple] = []       # (cols (Cp,), jpos (Kp,), V, K)
+        pending: List[tuple] = []   # (cols (Cp,), jpos (Kp,), V, K, winv)
         for b in batches:
             rowrep, posidx, vals, jp, colsp, K, interacts = \
                 self._prep_entries(b)
             kp, cp = jp.size, colsp.size
             if interacts and K > 1:
-                V = _compose_chunk_entries(
+                V, Winv = _compose_chunk_entries(
                     jnp.asarray(rowrep), jnp.asarray(posidx),
                     jnp.asarray(vals), jnp.asarray(jp), p64, w,
                     self.F.ndigits, kp, cp)
@@ -274,17 +318,27 @@ class UEliminator:
                 V = _scatter_chunk_entries(
                     jnp.asarray(rowrep), jnp.asarray(posidx),
                     jnp.asarray(vals), kp, cp, as_i8)
-            pending.append((colsp, jp, V, K))
-        # stack consecutive same-shape chunks into runs (one scan
-        # dispatch per run in eliminate_device), bounded per run so no
-        # multi-GB stacked copy ever forms
+                Winv = None
+            pending.append((colsp, jp, V, K, Winv))
+        # stack consecutive same-shape composition-free chunks into runs
+        # (one scan dispatch per run in eliminate_device), bounded per
+        # run so no multi-GB stacked copy ever forms; composed chunks
+        # dispatch alone (they carry a winv for coefficient parking)
         j = 0
         while j < len(pending):
+            if pending[j][4] is not None:
+                colsp, jp, V, K, Winv = pending[j]
+                self.runs.append(_Run(jnp.asarray(colsp)[None],
+                                      jnp.asarray(jp)[None], V[None], K,
+                                      Winv))
+                j += 1
+                continue
             shape = (pending[j][2].shape, pending[j][2].dtype)
             per = int(np.prod(shape[0])) * pending[j][2].dtype.itemsize
             gmax = max(self._MERGE_LIMIT // max(per, 1), 1)
             j2 = j
             while (j2 < len(pending)
+                   and pending[j2][4] is None
                    and (pending[j2][2].shape,
                         pending[j2][2].dtype) == shape
                    and j2 - j < gmax):
@@ -406,7 +460,9 @@ class UEliminator:
 
         merged: List[_Run] = []
         for run in self.runs:
-            if (merged and merged[-1].V.shape[1:] == run.V.shape[1:]
+            if (run.winv is None and merged
+                    and merged[-1].winv is None
+                    and merged[-1].V.shape[1:] == run.V.shape[1:]
                     and merged[-1].V.dtype == run.V.dtype
                     and vbytes(merged[-1]) + vbytes(run)
                     <= self._MERGE_LIMIT):
@@ -423,7 +479,8 @@ class UEliminator:
             gp = 1
             while gp < g:
                 gp <<= 1
-            if gp > g and g * Kp * Cp * run.V.dtype.itemsize \
+            if run.winv is None and gp > g \
+                    and g * Kp * Cp * run.V.dtype.itemsize \
                     <= self._MERGE_LIMIT:
                 # dead chunks: all-dead columns -> zero coefficient block
                 # -> lax.cond skips them
@@ -436,7 +493,9 @@ class UEliminator:
             if mesh is not None:
                 run = _Run(replicated(run.cols, mesh),
                            replicated(run.jpos, mesh),
-                           replicated(run.V, mesh), run.k)
+                           replicated(run.V, mesh), run.k,
+                           None if run.winv is None
+                           else replicated(run.winv, mesh))
             out.append(run)
         # the merged runs supersede the originals run-for-run (dead
         # chunks are inert, merging preserves order), so they are safe
@@ -465,8 +524,12 @@ class UEliminator:
         w = jnp.asarray(self.F.weights)
         for run in self._dispatch_runs():
             if run.V.shape[0] == 1:
+                winv = run.winv
                 Xd = _apply_chunk(Xd, run.cols[0], run.jpos[0], run.V[0],
-                                  p64, w, self.F.ndigits, park)
+                                  jnp.zeros((1, 1), jnp.int32)
+                                  if winv is None else winv,
+                                  p64, w, self.F.ndigits, park,
+                                  winv is not None)
             else:
                 Xd = _apply_chunk_run(Xd, run.cols, run.jpos, run.V, p64,
                                       w, self.F.ndigits, park, skip_empty)

@@ -432,6 +432,50 @@ def dense_rref_device(Xd, p: int, nb: int = _NB):
     return Rd, pivcols.astype(np.int64)
 
 
+@functools.partial(jax.jit, static_argnames=("d", "small"))
+def _normalize_rows(Ud, pv, p, d: int, small: bool):
+    inv = dnorm64(modinv(pv, p), p).astype(jnp.int32)
+    return _scale_rows(inv, Ud, p, small, 2)
+
+
+def dense_lu_device(Xd, p: int, nb: int = _NB):
+    """Device-resident column-pivoted LU of a device block Xd (n, m).
+
+    Returns (prows, pivcols, Ld, Ud): prows/pivcols host (rank,) int64;
+    Ld (n_pad, rank) device multiplier columns (S == Ld @ Ud_unnorm...,
+    exactly S == Ld' @ Ud with Ld' = Ld, Ud the unit-pivot rows — the
+    diagonal pivot value lives in Ld, matching dense_lu); Ud (rank, m)
+    device unit-pivot upper rows.  Only the (m,) pivot map crosses to
+    host.  The device analog of spasm_ffpack_LU (spasm_ffpack.cpp:88-96).
+    """
+    from ..parallel.context import shard_cols
+    F = device_field(p)
+    pall = _use_pallas(p, F.ndigits)
+    n, m = Xd.shape
+    mp = _size_bucket(max(m, 1), nb)
+    np_ = _size_bucket(max(n, 1), 128 if pall else 32)
+    if (np_, mp) != (n, m):
+        Xd = jnp.pad(Xd, ((0, np_ - n), (0, mp - m)))
+    Sf, pivrow_of_col, _, Lslots = _eliminate(
+        shard_cols(Xd.astype(jnp.int32)), jnp.int64(p),
+        jnp.asarray(F.weights), F.ndigits, False, nb,
+        p <= (1 << 23), pall)
+    pivrow = np.asarray(pivrow_of_col)[:m]
+    pivcols = np.nonzero(pivrow >= 0)[0].astype(np.int64)
+    rank = pivcols.size
+    if rank == 0:
+        return (np.empty(0, np.int64), pivcols,
+                jnp.zeros((n, 0), jnp.int32), jnp.zeros((0, m), jnp.int32))
+    prows = pivrow[pivcols].astype(np.int64)
+    rows_d = jnp.asarray(prows)
+    cols_d = jnp.asarray(pivcols)
+    pv = Sf[rows_d, cols_d]
+    Ud = _normalize_rows(Sf[rows_d, :m], pv, jnp.int64(p), F.ndigits,
+                         F.ndigits == 2)
+    Ld = Lslots[:n, cols_d]
+    return prows, pivcols, Ld, Ud
+
+
 # Below this many elements a numpy sweep beats device dispatch + compile.
 _HOST_LIMIT = 1 << 16
 

@@ -1,0 +1,421 @@
+"""Reduced pivot basis: one-matmul-free elimination in the compacted
+free-column domain.
+
+The engine's pivot basis U is unit *upper* triangular on its pivot
+columns (topological pivot order; a row never contains an earlier
+pivot's column).  Eliminating a row x against the whole basis therefore
+has a closed form on the free (non-pivotal) columns:
+
+    x_out|free = x|free - x|piv @ R,      R := (U|piv)^-1 @ (U|free)
+
+where x|piv are x's ORIGINAL values on the pivot columns — no sequential
+chunk-by-chunk elimination is needed once R is known.  R is the "fully
+reduced" basis restricted to the free columns.
+
+This module builds R entirely on device and then forms eliminated row
+blocks (actual rows, or random sparse-weight combinations) directly in
+the compacted domain: each block row gathers its ≤K referenced R rows
+(contiguous row reads — HBM-friendly, unlike the full-width column
+gathers of the chunked eliminator) and subtracts one exact weighted sum.
+No (B, m) full-width intermediate ever exists, which removes both the
+finisher's HBM ceiling on the free-column width and its dominant cost
+(measured ~5% effective utilization in round 3).
+
+Phase A (build): R[k] = U[k]|free - sum_{j in refs(k)} U[k, pivcol_j] R[j]
+with refs(k) the entries of U row k on *later* pivots' columns — a
+backward substitution swept level-by-level (rows of one topological
+level never reference each other), batched into lax.scan groups of
+equal padded chunk shape.
+
+Phase B (use): for a block of rows given as flat sparse entries
+(eidx into A's entry arrays + a coefficient per slot),
+    X = scatter(free entries) - sum_slots v_slot * R[ref_slot]
+computed chunk-wise with the gather + weighted-sum fused by XLA.
+
+Capability reference: this replaces the full-width block elimination the
+reference performs inside spasm_schur_dense / spasm_schur_dense_randomized
+(/root/reference/src/spasm_schur.c:257-413) for the dense finishers
+(/root/reference/src/spasm_echelonize.c:315-463).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .modp import (device_field, dnorm, dnorm64, matmul_digits, _digits,
+                   _reduce31)
+from .elim import _submod, _size_bucket
+
+
+def _ref_combine(V, G, p, weights, d: int):
+    """Exact sum_k V[:, k] * G[:, k, :] mod p, balanced int32 out.
+
+    V (S, K) int32 balanced, G (S, K, M) balanced (int16/int32).
+    Computed as batched int8 digit contractions on the MXU
+    (dot_general, batch dim S, contraction K): per-anti-diagonal
+    partial sums are exact in int32 for K * 128^2 < 2^31, recombined
+    with weighted Barrett passes exactly like matmul_digits.  An int64
+    elementwise formulation is avoided deliberately: XLA materializes
+    the (S, K, M) int64 product (multi-GB at finisher shapes).
+    """
+    Vd = _digits(V, d, p)                       # (d, S, K) int8
+    Gd = _digits(G, d, p)                       # (d, S, K, M) int8
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    parts = [None] * (2 * d - 1)
+    for d1 in range(d):
+        for d2 in range(d):
+            P = dot(Vd[d1], Gd[d2])             # (S, M) int32
+            s = d1 + d2
+            parts[s] = P if parts[s] is None else parts[s] + P
+    if d == 2:
+        b = [_reduce31(parts[s], p) for s in range(3)]
+        w32 = weights.astype(jnp.int32)
+        return _reduce31(b[0] + w32[1] * b[1] + w32[2] * b[2], p)
+    acc = jnp.zeros(parts[0].shape, jnp.int64)
+    for s in range(2 * d - 1):
+        if d == 3:
+            b = _reduce31(parts[s], p).astype(jnp.int64)
+        else:
+            b = parts[s].astype(jnp.int64)
+        acc = acc + dnorm64(b * weights[s], p)
+    return dnorm(acc, p)
+
+
+def _balance32(X, p, small: bool):
+    """Balanced reduction of an int32 scatter accumulator."""
+    if small:
+        return _reduce31(X, p)
+    return dnorm(X.astype(jnp.int64), p)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "K", "d", "small"),
+                   donate_argnums=(0,))
+def _phase_a_scan(R, rowids, cols, vals, colmap, pivmap, p, weights,
+                  d: int, small: bool, S: int, K: int):
+    """Backward-substitution sweep over a group of row chunks.
+
+    R (npad, M) donated.  Per chunk: basis rows rowids[c] (S,) get
+    R[k] = scatter(free entries) - refs @ R, where every ref points at
+    an already-computed row (strictly greater group).  Padded row slots
+    carry only dead entries, compute exact zeros, and scatter onto the
+    dead row npad-1 (which must stay zero) — no masking needed.
+    """
+    M = R.shape[1]
+    iota_S = jnp.arange(S)
+
+    def body(R, x):
+        rid, C, V = x                          # rid (S,); C,V: (S, K)
+        fc = colmap[C]                         # free slot or M-1 (dead)
+        pr = pivmap[C]                         # R row or npad-1 (zero row)
+        X = jnp.zeros((S, M), jnp.int32)
+        X = X.at[jnp.broadcast_to(iota_S[:, None], (S, K)), fc].add(V)
+        G = R[pr]                              # (S, K, M) row gather
+        delta = _ref_combine(V, G, p, weights, d)
+        blk = _submod(_balance32(X, p, small), delta, p, small)
+        return R.at[rid].set(blk.astype(R.dtype)), None
+
+    R, _ = jax.lax.scan(body, R, (rowids, cols, vals))
+    return R
+
+
+@functools.partial(jax.jit, static_argnames=("Bc", "K", "M", "d", "small"))
+def _form_chunk(eidx, coeff, indices, data, colmap, pivmap, R, p, weights,
+                Bc: int, K: int, M: int, d: int, small: bool):
+    """Eliminated compact block for Bc rows given as flat entry slots.
+
+    eidx (Bc, K): positions into the entry arrays (dead slot -> the
+    padded entry with col = m, val = 0); coeff (Bc, K): coefficient per
+    slot.  Returns (Bc, M) int32 balanced: scatter(free entries) minus
+    the weighted sum of referenced R rows.
+    """
+    C = indices[eidx]                           # (Bc, K) global columns
+    raw = data[eidx]
+    if small:
+        v = _reduce31(raw * coeff, p)           # |raw*coeff| <= 2^30
+    else:
+        v = dnorm(raw.astype(jnp.int64) * coeff.astype(jnp.int64), p)
+    fc = colmap[C]
+    pr = pivmap[C]
+    iota = jnp.arange(Bc)
+    # colliding entries (two combined rows sharing a column) sum in the
+    # scatter: K balanced terms stay in int32 only for the small tier
+    acc_t = jnp.int32 if small else jnp.int64
+    X = jnp.zeros((Bc, M), acc_t)
+    X = X.at[jnp.broadcast_to(iota[:, None], (Bc, K)), fc].add(
+        v.astype(acc_t))
+    Xb = _reduce31(X, p) if small else dnorm(X, p)
+    G = R[pr]                                   # (Bc, K, M)
+    delta = _ref_combine(v.astype(jnp.int32), G, p, weights, d)
+    return _submod(Xb, delta, p, small)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _elim_full_width(Y, R, pivcol_of_row, qsel, p, weights, d: int):
+    """Eliminate full-width device rows Y (Sn, mp) against the basis,
+    returning the compacted free-column residue (Sn, M).
+
+    pivcol_of_row (npad,): global pivot column of each R row (dead rows
+    -> the dead column mp-1 where Y is zero); qsel (M,): global column
+    of each compact slot (dead -> mp-1).
+    """
+    Cf = Y[:, pivcol_of_row]                    # (Sn, npad) coefficients
+    # R passes through as int16: matmul_digits digitizes chunk slices
+    # directly (an .astype(int32) of the whole basis would materialize
+    # a 2x-R-sized temp — multi-GB at finisher shapes)
+    delta = matmul_digits(Cf.astype(jnp.int32), R, p, weights, d)
+    small = d == 2
+    return _submod(Y[:, qsel].astype(jnp.int32), delta, p, small)
+
+
+class ReducedBasis:
+    """Device-resident R = (U|piv)^-1 @ (U|free) over the compacted
+    free-column domain, plus block formation against it."""
+
+    # (chunk height, scan length) tiers for the phase-A sweeps: FIXED
+    # shapes so at most one compiled scan exists per tier (per K) —
+    # dead-padded chunks/slots are inert, and the read waste of
+    # rounding a level up to a tier is bounded by the tier ratio
+    _TIERS = ((64, 64), (512, 16), (4096, 4), (8192, 2))
+    # element budget for one (Bc, K, M) reference gather
+    _GATHER_BUDGET = 1 << 28
+
+    def __init__(self, m: int, prime: int, qfree: np.ndarray,
+                 npiv: int):
+        self.m = m
+        self.prime = prime
+        self.F = device_field(prime)
+        self.small = self.F.ndigits == 2
+        self.nq = int(qfree.size)
+        self.M = _size_bucket(self.nq + 1, 64)
+        self.npad = _size_bucket(npiv + 1, 64)
+        self.npiv = npiv
+        self.dtype = jnp.int16 if prime <= 65535 else jnp.int32
+        self.p64 = jnp.int64(prime)
+        self.w = jnp.asarray(self.F.weights)
+        # global column -> compact slot / R row (index m = dead)
+        colmap = np.full(m + 1, self.M - 1, np.int32)
+        colmap[qfree] = np.arange(self.nq, dtype=np.int32)
+        self._colmap_np = colmap
+        self.colmap = jnp.asarray(colmap)
+        self.qfree = qfree
+        self.R = None                    # (npad, M) device array
+        self.pivmap = None
+        self._pivcol_of_row = None
+
+    # -- phase A -----------------------------------------------------------
+
+    def build(self, offs: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+              pivcols: np.ndarray, groups: np.ndarray):
+        """Build R from the basis rows (flat CSR-style arrays).
+
+        offs (npiv+1,), cols/vals flat entries, pivcols (npiv,) pivot
+        column of each row, groups (npiv,) ints; rows with equal group
+        id never reference each other's pivot columns and only reference
+        rows of strictly greater group id (any valid assignment — the
+        build sorts by group itself).
+        """
+        npiv = self.npiv
+        pivmap = np.full(self.m + 1, self.npad - 1, np.int32)
+        if npiv:
+            pivmap[np.asarray(pivcols, np.int64)] = \
+                np.arange(npiv, dtype=np.int32)
+        self.pivmap = jnp.asarray(pivmap)
+        pcr = np.full(self.npad, self.m, np.int64)
+        pcr[:npiv] = pivcols
+        self._pivcol_of_row = pcr
+        R = jnp.zeros((self.npad, self.M), self.dtype)
+        if npiv == 0:
+            self.R = R
+            return
+        lens = np.diff(offs)
+        pivcols = np.asarray(pivcols, np.int64)
+        # process groups in DESCENDING order (refs point at greater
+        # groups = already-computed rows); rows inside one group are
+        # mutually independent, so chunks may split a group anywhere
+        order = np.argsort(-np.asarray(groups), kind="stable")
+        gsorted = np.asarray(groups)[order]
+        runs = np.concatenate(
+            ([0], np.nonzero(np.diff(gsorted))[0] + 1, [npiv]))
+        # one chunk never spans a group boundary: a row may reference a
+        # greater-group row, which inside the same chunk would still
+        # read as zero.  Splitting WITHIN a group is always safe.
+        K = _k_bucket(int(lens.max(initial=1)))
+        # keep one chunk's (S, K, M) reference gather within budget
+        # (skewed row lengths raise K for everyone; shrink S to match)
+        tiers = [t for t in self._TIERS
+                 if t[0] * K * self.M <= (1 << 30)] or [self._TIERS[0]]
+        Smax = tiers[-1][0]
+        chunks: List[Tuple[int, int, int]] = []     # (o0, sz, S-tier)
+        for ri in range(len(runs) - 1):
+            lo, hi = int(runs[ri]), int(runs[ri + 1])
+            k = lo
+            while k < hi:
+                take = min(hi - k, Smax)
+                S = next(t for t, _ in tiers if take <= t)
+                chunks.append((k, take, S))
+                k += take
+        # pack consecutive same-S chunks into fixed-length scans
+        gp_of = dict(tiers)
+        i = 0
+        while i < len(chunks):
+            S = chunks[i][2]
+            gp = gp_of[S]
+            # only the consecutive same-tier PREFIX may share a scan:
+            # skipping a different-tier chunk in the middle would process
+            # later chunks before their (greater-group) references exist
+            j = i
+            while j < len(chunks) and chunks[j][2] == S and j - i < gp:
+                j += 1
+            group = chunks[i:j]
+            g = len(group)
+            rids = np.full((gp, S), self.npad - 1, np.int32)
+            Cs = np.full((gp, S, K), self.m, np.int32)   # dead column
+            Vs = np.zeros((gp, S, K), np.int32)
+            for t in range(g):
+                o0, sz, _ = group[t]
+                rows_t = order[o0:o0 + sz]
+                rids[t, :sz] = rows_t
+                ls = lens[rows_t]
+                src = _flat_gather(offs[rows_t], ls)
+                rr = np.repeat(np.arange(sz), ls)
+                pos = np.arange(ls.sum()) - np.repeat(
+                    np.cumsum(ls) - ls, ls)
+                cc = cols[src]
+                vv = vals[src]
+                # a row's own pivot entry would gather its (still-zero)
+                # R row — inert, but mask it outright
+                own = cc == pivcols[rows_t[rr]]
+                cc = np.where(own, self.m, cc)
+                vv = np.where(own, 0, vv)
+                Cs[t, rr, pos] = cc
+                Vs[t, rr, pos] = vv
+            R = _phase_a_scan(R, jnp.asarray(rids),
+                              jnp.asarray(Cs), jnp.asarray(Vs),
+                              self.colmap, self.pivmap, self.p64, self.w,
+                              self.F.ndigits, self.small, S, K)
+            i = j
+        self.R = R
+
+    # -- phase B -----------------------------------------------------------
+
+    def set_entries(self, indices: np.ndarray, data: np.ndarray, nnz: int):
+        """Upload the matrix entry arrays once (with one dead entry at
+        index nnz: column m, value 0 — the target of padded slots)."""
+        ind = np.empty(nnz + 1, np.int32)
+        ind[:nnz] = indices[:nnz]
+        ind[nnz] = self.m
+        dat = np.zeros(nnz + 1, np.int32)
+        dat[:nnz] = data[:nnz]
+        self.dead_eidx = nnz
+        self.indices = jnp.asarray(ind)
+        self.data = jnp.asarray(dat)
+
+    def form_block(self, eidx: np.ndarray, coeff: np.ndarray,
+                   Bp: Optional[int] = None):
+        """Eliminated compact block (Bp, M) for rows given as flat entry
+        slots.  eidx/coeff: (B, K) host arrays (pad with dead_eidx/0).
+        Passing a fixed Bp keeps the compiled chunk shapes identical
+        across rounds (dead-padded rows come out zero).  Returns a
+        device array of self.dtype."""
+        B, K = eidx.shape
+        Bc = max(self._GATHER_BUDGET // max(K * self.M, 1), 1)
+        Bc = max(min(1 << (Bc.bit_length() - 1), B, 4096), 64)
+        if Bp is None:
+            Bp = -(-B // Bc) * Bc
+        else:
+            Bc = min(Bc, Bp)
+            while Bp % Bc:
+                Bc //= 2
+        if Bp != B:
+            ep = np.full((Bp, K), self.dead_eidx, np.int64)
+            ep[:B] = eidx
+            cp = np.zeros((Bp, K), np.int32)
+            cp[:B] = coeff
+            eidx, coeff = ep, cp
+        outs = []
+        for b0 in range(0, Bp, Bc):
+            X = _form_chunk(jnp.asarray(eidx[b0:b0 + Bc], np.int64),
+                            jnp.asarray(coeff[b0:b0 + Bc], np.int32),
+                            self.indices, self.data, self.colmap,
+                            self.pivmap, self.R, self.p64, self.w,
+                            Bc, K, self.M, self.F.ndigits, self.small)
+            outs.append(X.astype(self.dtype))
+        Xd = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return Xd
+
+    def flat_rows(self, A_indptr: np.ndarray, rows: np.ndarray,
+                  coeffs: Optional[np.ndarray] = None):
+        """Host prep: flat (B, K) entry slots for combinations.
+
+        rows (B, w) row ids (w == 1 for plain row blocks); coeffs
+        (B, w) or None (all-ones).  Returns (eidx, coeff)."""
+        rows = np.asarray(rows, np.int64)
+        if rows.ndim == 1:
+            rows = rows[:, None]
+        B, w = rows.shape
+        starts = A_indptr[rows]                    # (B, w)
+        lens = (A_indptr[rows + 1] - starts).astype(np.int64)
+        tot = lens.sum(axis=1)
+        K = _k_bucket(int(tot.max(initial=1)))
+        eidx = np.full((B, K), self.dead_eidx, np.int64)
+        coeff = np.zeros((B, K), np.int32)
+        lf = lens.reshape(-1)
+        src = _flat_gather(starts.reshape(-1), lf)
+        nrep = np.repeat(np.arange(B * w) // w, lf)
+        pos_in_row = (np.arange(lf.sum())
+                      - np.repeat(np.cumsum(lf) - lf, lf)
+                      + np.repeat(np.cumsum(lens, axis=1).reshape(-1)
+                                  - lf, lf))
+        eidx[nrep, pos_in_row] = src
+        if coeffs is None:
+            coeff[nrep, pos_in_row] = 1
+        else:
+            coeff[nrep, pos_in_row] = np.repeat(
+                np.asarray(coeffs, np.int32).reshape(-1), lf)
+        return eidx, coeff
+
+    def eliminate_full_width(self, Y):
+        """Compact + eliminate full-width device rows Y (Sn, mp); the
+        dead column mp-1 of Y must be zero.  Returns (Sn, M) int32."""
+        mp = Y.shape[1]
+        pcr = np.where(self._pivcol_of_row >= self.m, mp - 1,
+                       self._pivcol_of_row)
+        qsel = np.full(self.M, mp - 1, np.int64)
+        qsel[:self.nq] = self.qfree
+        return _elim_full_width(Y, self.R, jnp.asarray(pcr),
+                                jnp.asarray(qsel), self.p64, self.w,
+                                self.F.ndigits)
+
+    def hbm_bytes(self) -> int:
+        return self.npad * self.M * (2 if self.dtype == jnp.int16 else 4)
+
+
+def _k_bucket(k: int) -> int:
+    """Entry-slot bucket: powers of two to 32, then multiples of 16
+    (the slot count scales the dominant reference-gather traffic, so
+    coarse pow2 rounding above 32 would cost real bandwidth)."""
+    if k <= 4:
+        return 4
+    if k <= 32:
+        b = 8
+        while b < k:
+            b <<= 1
+        return b
+    return -(-k // 16) * 16
+
+
+def _flat_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate ranges [starts[i], starts[i]+lens[i]) (vectorized)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    rep = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])),
+                    lens)
+    return rep + np.arange(total)

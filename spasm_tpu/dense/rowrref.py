@@ -135,9 +135,7 @@ def _basis_apply(X, R, jpos, p, weights, d: int):
     """
     C = X[:, jpos]                                    # (B, K)
     small = d == 2
-    delta = matmul_digits(C.astype(jnp.int32),
-                          R if R.dtype == jnp.int8 else
-                          R.astype(jnp.int32), p, weights, d)
+    delta = matmul_digits(C.astype(jnp.int32), R, p, weights, d)
     return _submod(X, delta, p, small).astype(X.dtype)
 
 

@@ -77,14 +77,15 @@ class EchelonizeOptions:
     # the MXU, so further sparse Schur rounds are skipped (SURVEY.md §7
     # "invert the reference's emphasis").  0 disables (reference-shaped
     # round loop + host/hybrid finishers).
-    device_dense_width: int = 32768
+    device_dense_width: int = 65536
     # Minimum remaining work (rows * free columns) before the device
     # finisher pays for its dispatches; below it the host paths win.
     device_dense_min: int = 1 << 22
-    # HBM budget (bytes) for the finisher's accumulated basis
-    # (~ free_cols * remaining_rank * itemsize); widths whose basis
-    # would exceed it fall back to the sparse-round / host finishers.
-    device_dense_mem: int = 5 << 30
+    # HBM budget (bytes) for the finisher's device state: the reduced
+    # basis R (pivot_rows * free_cols) plus the accumulated finisher
+    # basis (~ remaining_rank * free_cols); widths whose state would
+    # exceed it fall back to the sparse-round / host finishers.
+    device_dense_mem: int = 10 << 30
     # TPU-build extension: mid-engine checkpoint/resume (SURVEY.md §5.4).
     # When set, the engine snapshots its state to this file after every
     # round and every dense-finisher block; re-running with the same input
@@ -94,6 +95,12 @@ class EchelonizeOptions:
     # U + S, O(nnz); unthrottled per-block saves can dominate the
     # finisher).  Round-boundary snapshots are never throttled.
     checkpoint_interval_s: float = 30.0
+
+
+# L-mode dense blocks at or above this many elements (rows x free
+# columns) run the device-resident Schur+LU path; smaller blocks keep
+# the host sweep (dispatch + compile overhead dominates below it).
+_DEVICE_LU_MIN = 1 << 16
 
 
 class _LBuilder:
@@ -143,79 +150,208 @@ class _LBuilder:
 class _UBuilder:
     """Incremental U accumulator: rows with unitary pivots first.
 
-    Rows may arrive as host (cols, vals) pairs or as *device-resident
-    dense blocks* (the pivot rows of a device RREF); the latter are
-    materialized to host sparse rows lazily, so the engine's hot path
-    never waits on a matrix-sized device->host transfer.
+    Rows live in *segments* — flat CSR-style arrays (offs, cols, vals,
+    pivcols, levels) — so bulk pushes (structural pivot extraction with
+    its 10^5+ rows, dense RREF blocks) never loop per row in Python.
+    Rows may also arrive as *device-resident dense blocks* (the pivot
+    rows of a device RREF), materialized to host lazily so the engine's
+    hot path never waits on a matrix-sized device->host transfer.
+
+    Segment `levels` (optional) are topological levels: rows of equal
+    level never contain each other's pivot columns.  A segment without
+    levels asserts all its rows are mutually independent (true for RREF
+    blocks and single-row appends).  Any row only references pivot
+    columns of *later* rows (the engine's upper-triangular invariant) —
+    the property the reduced-basis finisher builds on.
     """
 
     def __init__(self, m: int, prime: int):
         self.m = m
         self.prime = prime
         self.field = Field(prime)
-        self.rows: List[tuple] = []      # (cols, vals), pivot first
         self.qinv = np.full(m, -1, dtype=np.int64)
-        self.pivcol: List[int] = []
+        # (offs, cols int32, vals int32, pivcols int64, levels or None)
+        self._segs: List[tuple] = []
         # deferred device blocks: (Rd, colmap, pivcols_global, base_row)
         self._pending: List[tuple] = []
+        self._n = 0
+        self._rows_cache: Optional[List[tuple]] = None
 
     @property
     def n(self) -> int:
-        return len(self.rows)
+        return self._n
+
+    @property
+    def pivcol(self) -> np.ndarray:
+        """Pivot column of each U row (device blocks included)."""
+        self.flush_device()
+        if not self._segs:
+            return np.empty(0, np.int64)
+        return np.concatenate([s[3] for s in self._segs])
+
+    @property
+    def rows(self) -> List[tuple]:
+        """Per-row (cols, vals) views, pivot first (lazy)."""
+        self.flush_device()
+        if self._rows_cache is None:
+            out = []
+            for offs, cols, vals, _, _ in self._segs:
+                for k in range(len(offs) - 1):
+                    sl = slice(offs[k], offs[k + 1])
+                    out.append((cols[sl], vals[sl]))
+            self._rows_cache = out
+        return self._rows_cache
 
     def add_row(self, pivcol: int, cols: np.ndarray, vals: np.ndarray):
-        """cols/vals: full row with value 1 at pivcol; pivot stored first."""
-        k = len(self.rows)
+        """cols/vals: full row with value 1 at pivcol; pivot stored
+        first.  Returns the stored (cols, vals) pair."""
         sel = cols != pivcol
         c = np.concatenate(([pivcol], cols[sel])).astype(np.int32)
         v = np.concatenate(([1], vals[sel])).astype(np.int32)
-        self.rows.append((c, v))
-        self.qinv[pivcol] = k
-        self.pivcol.append(int(pivcol))
+        self.add_rows_bulk(np.asarray([pivcol], np.int64),
+                           np.asarray([0, c.size], np.int64), c, v)
+        return c, v
+
+    def add_rows_bulk(self, pivcols: np.ndarray, offs: np.ndarray,
+                      cols: np.ndarray, vals: np.ndarray, levels=None):
+        """Bulk append of pivot-first rows (value 1 at pivcols[k])."""
+        npiv = len(pivcols)
+        if npiv == 0:
+            return
+        self.flush_device()
+        self._segs.append((np.asarray(offs, np.int64),
+                           np.asarray(cols, np.int32),
+                           np.asarray(vals, np.int32),
+                           np.asarray(pivcols, np.int64),
+                           None if levels is None
+                           else np.asarray(levels, np.int64)))
+        self.qinv[np.asarray(pivcols, np.int64)] = \
+            self._n + np.arange(npiv)
+        self._n += npiv
+        if self._rows_cache is not None:
+            c, v, o = cols, vals, offs
+            for k in range(npiv):
+                self._rows_cache.append((c[o[k]:o[k + 1]],
+                                         v[o[k]:o[k + 1]]))
 
     def add_dense_rows_device(self, Rd, colmap: np.ndarray,
                               pivcols_global: np.ndarray):
         """Register device RREF rows without transferring them.
 
-        Rd: (rank, w) int32 device block (row k has value 1 at the column
+        Rd: (rank, w) device block (row k has value 1 at the column
         mapping to pivcols_global[k]); colmap: (w,) global column ids.
         """
-        k0 = len(self.rows)
-        for i, pc in enumerate(np.asarray(pivcols_global, np.int64)):
-            self.qinv[pc] = k0 + i
-            self.pivcol.append(int(pc))
-            self.rows.append(None)
+        pivcols = np.asarray(pivcols_global, np.int64)
+        self.qinv[pivcols] = self._n + np.arange(len(pivcols))
         self._pending.append((Rd, np.asarray(colmap, np.int64),
-                              np.asarray(pivcols_global, np.int64), k0))
+                              pivcols, self._n))
+        self._n += len(pivcols)
+        self._rows_cache = None
 
     def flush_device(self):
-        """Materialize pending device blocks into host sparse rows."""
-        for Rd, colmap, pivcols, k0 in self._pending:
+        """Materialize pending device blocks into host sparse segments."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        for Rd, colmap, pivcols, k0 in pending:
             R = np.asarray(Rd)                     # the one D2H transfer
+            K = R.shape[0]
             nz_r, nz_c = np.nonzero(R)
-            counts = np.bincount(nz_r, minlength=R.shape[0])
+            # pivot-first: order key puts each row's own pivot col first
+            # (ppos[i] = position of pivcols[i] inside colmap)
+            order_cm = np.argsort(colmap, kind="stable")
+            ppos = order_cm[np.searchsorted(colmap, pivcols,
+                                            sorter=order_cm)]
+            first = nz_c == ppos[nz_r]
+            order = np.lexsort((~first, nz_r))
+            nz_r, nz_c = nz_r[order], nz_c[order]
+            counts = np.bincount(nz_r, minlength=K)
             offs = np.concatenate(([0], np.cumsum(counts)))
-            vals_flat = R[nz_r, nz_c].astype(np.int32)
-            cols_flat = colmap[nz_c]
-            for i in range(R.shape[0]):
-                sl = slice(offs[i], offs[i + 1])
-                cols = cols_flat[sl]
-                vals = vals_flat[sl]
-                pc = pivcols[i]
-                sel = cols != pc
-                c = np.concatenate(([pc], cols[sel])).astype(np.int32)
-                v = np.concatenate(([1], vals[sel])).astype(np.int32)
-                self.rows[k0 + i] = (c, v)
-        self._pending = []
+            self._segs.append((offs.astype(np.int64),
+                               colmap[nz_c].astype(np.int32),
+                               R[nz_r, nz_c].astype(np.int32),
+                               pivcols, None))
+        self._rows_cache = None
+
+    def flat_store(self):
+        """All rows as one flat store for the reduced-basis build.
+
+        Returns (offs, cols, vals, pivcols, groups): groups are
+        non-decreasing ints; equal-group rows are mutually independent
+        and rows only reference strictly-greater groups.
+        """
+        self.flush_device()
+        if not self._segs:
+            z = np.zeros(1, np.int64)
+            return (z, np.empty(0, np.int32), np.empty(0, np.int32),
+                    np.empty(0, np.int64), np.empty(0, np.int64))
+        offs_all = [np.zeros(1, np.int64)]
+        cols_all, vals_all, piv_all, grp_all = [], [], [], []
+        base = 0
+        gid = 0
+        for offs, cols, vals, pivcols, levels in self._segs:
+            offs_all.append(offs[1:] + base)
+            base += offs[-1]
+            cols_all.append(cols[:offs[-1]])
+            vals_all.append(vals[:offs[-1]])
+            piv_all.append(pivcols)
+            if levels is None:
+                levels = _intra_levels(offs, cols, pivcols)
+            grp_all.append(gid + levels)
+            gid += int(levels.max(initial=0)) + 1
+        return (np.concatenate(offs_all), np.concatenate(cols_all),
+                np.concatenate(vals_all), np.concatenate(piv_all),
+                np.concatenate(grp_all))
 
     def snapshot_csr(self) -> CSR:
         self.flush_device()
-        return CSR.from_rows(self.n, self.m, self.prime, self.rows)
+        offs, cols, vals, pivcols, _ = self.flat_store()
+        A = CSR(self._n, self.m, self.field, offs, cols, vals)
+        return A
 
     def nnz(self) -> int:
         if self._pending:
             return -1          # unknown without forcing a transfer
-        return sum(c.size for c, _ in self.rows)
+        return int(sum(int(s[0][-1]) for s in self._segs))
+
+
+def _intra_levels(offs: np.ndarray, cols: np.ndarray,
+                  pivcols: np.ndarray) -> np.ndarray:
+    """Forward topological levels of an upper-triangular row set.
+
+    Row k's entries on *later* rows' pivot columns force those rows to a
+    level > level(k); equal-level rows never reference each other.  Used
+    for segments that arrive without level data (e.g. checkpoint
+    restores); returns zeros fast when no intra-segment references
+    exist (mutually reduced blocks).
+    """
+    n = len(pivcols)
+    lev = np.zeros(n, np.int64)
+    if n <= 1:
+        return lev
+    pivcols = np.asarray(pivcols, np.int64)
+    order = np.argsort(pivcols, kind="stable")
+    sorted_piv = pivcols[order]
+    nnz = int(offs[-1])
+    pos = np.searchsorted(sorted_piv, cols[:nnz])
+    pos = np.minimum(pos, n - 1)
+    hit = sorted_piv[pos] == cols[:nnz]
+    ref = np.where(hit, order[pos], -1)
+    rowid = np.repeat(np.arange(n), np.diff(offs))
+    intra = hit & (ref != rowid)
+    if not np.any(intra):
+        return lev
+    src = rowid[intra]
+    dst = ref[intra]
+    o = np.argsort(src, kind="stable")
+    s2, d2 = src[o], dst[o]
+    bounds = np.concatenate(
+        ([0], np.nonzero(np.diff(s2))[0] + 1, [len(s2)]))
+    for i in range(len(bounds) - 1):              # ascending source rows
+        k = s2[bounds[i]]
+        t = d2[bounds[i]:bounds[i + 1]]
+        np.maximum.at(lev, t, lev[k] + 1)
+    return lev
 
 
 class _GrowingCSR:
@@ -231,6 +367,7 @@ class _GrowingCSR:
         self.n = base.n
         self.m = base.m
         self.prime = base.prime
+        self.field = base.field
         nnz = base.nnz
         cap_r = max(2 * base.n + 8, 64)
         cap_e = max(2 * nnz + 64, 256)
@@ -319,12 +456,20 @@ class _Engine:
         self.L = _LBuilder(A.prime) if opts.L else None
         self.Lp: List[int] = []          # original pivot row per U row
         self.elim = UEliminator(A.m, A.prime)
+        self._fp: Optional[bytes] = None
+
+    @property
+    def fingerprint(self) -> bytes:
+        """SHA-256 of the input matrix (binds randomized draws to it)."""
+        if self._fp is None:
+            self._fp = ckpt.matrix_fingerprint(self.A0)
+        return self._fp
 
     # -- U update helpers --------------------------------------------------
 
     def _push_u_row(self, pivcol: int, cols, vals):
-        self.U.add_row(pivcol, np.asarray(cols), np.asarray(vals))
-        cols_p, vals_p = self.U.rows[-1]
+        cols_p, vals_p = self.U.add_row(pivcol, np.asarray(cols),
+                                        np.asarray(vals))
         self.elim.append_rows(
             [(cols_p.astype(np.int64), vals_p, int(pivcol))], flush=False)
 
@@ -373,17 +518,9 @@ class _Engine:
             cols2[first] = pivcols
             vals2[first] = 1
             cols32 = cols2.astype(np.int32)
-            k0 = self.U.n
-            stage = []
-            for k in range(npiv):
-                sl = slice(offs[k], offs[k + 1])
-                c, v = cols32[sl], vals2[sl]
-                self.U.rows.append((c, v))
-                self.U.pivcol.append(int(pivcols[k]))
-                stage.append((cols2[sl], v, int(pivcols[k])))
-            self.U.qinv[pivcols] = k0 + np.arange(npiv)
-            self.elim.append_rows(stage, flush=False, levels=levels)
-        self.elim.flush()
+            self.U.add_rows_bulk(pivcols, offs, cols32, vals2,
+                                 levels=levels)
+            self.elim.append_segment(offs, cols2, vals2, pivcols, levels)
         log.info("[pivots] %d structural pivots found [%.2fs]",
                  npiv, time.time() - t0)
         return npiv, p
@@ -401,7 +538,6 @@ class _Engine:
             sl = slice(offs[k], offs[k + 1])
             self._push_u_row(int(q[pivcols[k]]), cols_flat[sl],
                              vals_flat[sl])
-        self.elim.flush()
 
     def update_after_lu(self, rank: int, prows, pivcols, Ld, Urows,
                         q: np.ndarray, p_out: np.ndarray, lmark: int):
@@ -427,7 +563,59 @@ class _Engine:
             self.Lp.append(int(p_out[prows[k]]))
             nz = np.nonzero(Urows[k])[0]
             self._push_u_row(int(q[pivcols[k]]), q[nz], Urows[k][nz])
-        self.elim.flush()
+
+    def _dense_lu_block_device(self, S: CSR, rows: np.ndarray, p_in,
+                               lmark: int) -> int:
+        """Device-resident L-mode dense block (round-4 redesign of the
+        host path): Schur elimination, packed L-coefficient extraction,
+        column-pivoted LU and factor merge all run on device; only the
+        factors' actual nonzeros cross device->host, and every host
+        update is a bulk array operation (update_fact_after_LU,
+        spasm_echelonize.c:228-313, without its per-row loops).
+        Returns the block's rank."""
+        from .dense.elim import dense_lu_device
+        from .schur import _pack_nonzero_device, schur_dense_block_device
+        Xq, q, p_out, (slr, sluc, slv) = schur_dense_block_device(
+            S, rows, p_in, self.U.qinv, self.elim, want_L=True)
+        if slr.size:                  # coefficients against prior pivots
+            self.L.add_batch(p_out[slr], sluc, slv)
+        prows, pivcols, Ld, Ud = dense_lu_device(Xq, self.prime)
+        rank = int(pivcols.size)
+        if not self.opts.complete:
+            pivotal = p_out[prows] if rank else np.empty(0, np.int64)
+            self.L.rollback_filter(lmark, lambda r: np.isin(r, pivotal))
+        ubase = self.U.n
+        if rank:
+            # dense-factor multipliers -> L
+            lr2, lc2, lv2 = _pack_nonzero_device(Ld, Ld.shape[0], rank)
+            lr2 = lr2.astype(np.int64)
+            if not self.opts.complete:
+                keep = np.isin(lr2, prows)
+                lr2, lc2, lv2 = lr2[keep], lc2[keep], lv2[keep]
+            if lr2.size:
+                self.L.add_batch(p_out[lr2], ubase + lc2.astype(np.int64),
+                                 lv2)
+            # unit-pivot U rows -> bulk pivot-first push
+            ur, uc, uv = _pack_nonzero_device(Ud, rank, Ud.shape[1])
+            gcols = q[uc.astype(np.int64)]
+            counts = np.bincount(ur, minlength=rank).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            gpiv = q[pivcols]
+            rowrep = np.repeat(np.arange(rank), counts)
+            on_piv = gcols == gpiv[rowrep]
+            piv_pos = np.flatnonzero(on_piv)
+            first = offs[:-1]
+            cols2 = gcols.copy()
+            vals2 = uv.astype(np.int32).copy()
+            cols2[piv_pos] = gcols[first]
+            vals2[piv_pos] = vals2[first]
+            cols2[first] = gpiv
+            vals2[first] = 1
+            self.U.add_rows_bulk(gpiv, offs, cols2.astype(np.int32),
+                                 vals2)
+            self.elim.append_segment(offs, cols2, vals2, gpiv)
+            self.Lp.extend(p_out[prows].tolist())
+        return rank
 
     # -- completion test ---------------------------------------------------
 
@@ -524,13 +712,15 @@ class _Engine:
             nq = int(np.count_nonzero(self.U.qinv < 0))
             auto_bs = max(opts.dense_block_size,
                           elem_budget // max(nq, 1))
-            Sn = min(auto_bs if not opts.L else opts.dense_block_size,
-                     n - processed)
+            Sn = min(auto_bs, n - processed)
             if Sn <= 0:
                 break
             rows = p[processed:processed + Sn]
             lmark = self.L.truncate() if self.L is not None else 0
-            if opts.L:
+            if opts.L and Sn * max(self.m - self.U.n, 1) >= _DEVICE_LU_MIN:
+                # device-resident L-mode: Schur + LU + merge on device
+                rr = self._dense_lu_block_device(S, rows, p_in, lmark)
+            elif opts.L:
                 X, q, p_out = schur_dense_block(S, rows, p_in, self.U.qinv,
                                                 self.elim, self.L,
                                                 U_csr=self.U.snapshot_csr())
@@ -567,7 +757,7 @@ class _Engine:
 
     # -- device-resident finisher (TPU-first redesign) ---------------------
 
-    def _completion_device(self, dcsr, cand_mask_d, qsel_d, basis,
+    def _completion_device(self, dcsr, cand_mask_d, rb, basis,
                            seed: int) -> bool:
         """Probabilistic completion test, fully on device: random full
         combinations of the candidate rows, eliminated against the whole
@@ -581,13 +771,9 @@ class _Engine:
         XT = jax.random.randint(key, (Sn, dcsr.n), 0, self.prime,
                                 dtype=jnp.int32)
         XT = jnp.where(cand_mask_d[None, :], XT, 0)
-        Y = dcsr.spmv(XT)
-        from .dense.elim import _size_bucket
-        Bp = _size_bucket(Sn, 8)
-        if Bp > Sn:
-            Y = jnp.pad(Y, ((0, Bp - Sn), (0, 0)))
-        Y = self.elim.eliminate_device(Y)
-        Yq = basis.apply(Y[:, qsel_d])
+        Y = dcsr.spmv(XT)                       # (Sn, mp), dead col zero
+        Yq = rb.eliminate_full_width(Y)         # (Sn, M) compact residue
+        Yq = basis.apply(Yq)
         return not bool(np.asarray(jnp.any(Yq != 0)))
 
     @annotate("finish_device")
@@ -596,38 +782,40 @@ class _Engine:
         both echelonize_dense (spasm_echelonize.c:385-463) and
         echelonize_dense_lowrank (:315-379).
 
-        The matrix's entries are uploaded ONCE (DeviceCSR); every round
-        then runs entirely on device: form a block (actual rows, or
-        random sparse-weight combinations when the residual is tall) ->
-        eliminate against the full pivot basis (chunked scan) -> compact
-        to the free columns -> row-sweep RREF (dense/rowrref.py, whose
-        sequential cost scales with the block's rows, not the width) ->
-        register the new reduced rows as a device chunk of the basis.
-        Per round, only the (B,) pivot-column map crosses device->host.
-        Measured context (tunneled TPU): ~65 MB/s up / ~20 MB/s down /
-        ~28 ms per sync — which is why no matrix-sized array may cross
-        the link in either direction.
+        Redesign (round 4): the pivot basis is compiled ONCE into the
+        reduced operator R = (U|piv)^-1 @ (U|free) on the compacted
+        free-column domain (dense/reduced.py).  Every block row (actual
+        candidate rows, or random sparse-weight combinations when the
+        residual is tall) is then eliminated against the ENTIRE basis in
+        one shot: scatter its free entries + subtract the weighted sum
+        of its <= K referenced R rows — contiguous row gathers, not the
+        full-width column-gather chunk scans of the round-3 design
+        (which measured ~5% effective utilization).  No (B, m)
+        full-width block ever forms, so the finisher's width budget is
+        set by R's footprint, not by padded-block HBM.  The eliminated
+        compact block then flows as before: CompactBasis elimination ->
+        row-sweep RREF -> new basis chunk.  Per round, only the (B,)
+        pivot-column map crosses device->host.
         """
         import jax.numpy as jnp
-        from .device_csr import DeviceCSR
         from .dense.elim import _size_bucket
-        import spasm_tpu.dense.rowrref as _rr
-        rref_rows_device = _rr.rref_rows_device
+        from .dense.reduced import ReducedBasis
+        from .dense.rowrref import CompactBasis, rref_rows_device
 
         opts = self.opts
         m = self.m
         prime = self.prime
         t0 = time.time()
         old_un = self.U.n
-        dcsr = DeviceCSR(S)                  # the one bulk upload
-        mp = dcsr.mp
 
         qfree = np.nonzero(self.U.qinv < 0)[0]
         nq = qfree.size
-        M = _size_bucket(nq + 1, 64)         # compacted width + dead col
-        qsel = np.full(M, mp - 1, np.int64)  # dead slots -> dead col of X
-        qsel[:nq] = qfree
-        qsel_d = jnp.asarray(qsel)
+        rb = ReducedBasis(m, prime, qfree, self.U.n)
+        offs_u, cols_u, vals_u, piv_u, grp_u = self.U.flat_store()
+        with phase("reduced_basis"):
+            rb.build(offs_u, cols_u, vals_u, piv_u, grp_u)
+        rb.set_entries(S.indices, S.data, S.nnz)
+        M = rb.M
         q_ext = np.full(M, m, np.int64)      # slot -> global column
         q_ext[:nq] = qfree
 
@@ -635,27 +823,28 @@ class _Engine:
         aspect = n / max(nq, 1)
         lowrank = (opts.enable_tall_and_skinny
                    and aspect > opts.tall_and_skinny_ratio)
-        # block height: HBM budget on the full-width block, including
-        # the arithmetic tier's temporaries (d >= 3 runs int64-emulated
-        # reductions whose live temps are ~4x the d = 2 path); the
-        # row-sweep RREF is also fastest near 4096 (its left-looking
-        # panel matmuls re-read the block once per panel, O(B^2 M))
-        tier_bytes = 8 if dcsr.F.ndigits == 2 else 32
-        B = 1024
-        while B < rank_ub + 64 and B * mp * tier_bytes <= (6 << 30) \
-                and B < 4096:
-            B <<= 1
+        B = min(_size_bucket(rank_ub + 64, 64), 8192)
+        # sparse combination weight: the reference's coupon-collector
+        # start (-log(0.01) * n / rank) capped low — shortfalls are
+        # caught by the completion test + weight doubling, and a small w
+        # keeps the per-row reference gather count (w * maxlen) cheap
         w = int(np.ceil(-np.log(0.01) * n / max(rank_ub, 1))) \
             if opts.low_rank_start_weight < 0 else \
             max(opts.low_rank_start_weight, 1)
-        rng = np.random.default_rng(0xD1CE)
-        from .dense.rowrref import CompactBasis
+        if opts.low_rank_start_weight < 0:
+            w = min(w, 16)
+        # deterministic draws bound to the input matrix (SURVEY §4
+        # randomness discipline): Philox keyed by the SHA-256 fingerprint
+        rng = np.random.Generator(np.random.Philox(
+            key=int.from_bytes(self.fingerprint[:16], "big")))
         basis = CompactBasis(M, prime)
+        dcsr = None
         cand_mask_d = None
         processed = 0
         rounds = 0
         log.info("[finish/device] %s mode: %d rows x %d free cols, "
-                 "block %d", "lowrank" if lowrank else "rows", n, nq, B)
+                 "block %d, basis %d", "lowrank" if lowrank else "rows",
+                 n, nq, B, self.U.n)
         while rank_ub > 0:
             if lowrank:
                 N = min(B, rank_ub + 64)
@@ -663,23 +852,15 @@ class _Engine:
                 coeffs = rng.integers(1, prime, size=(N, w))
                 coeffs = self.field.narray(coeffs).astype(np.int32)
                 coeffs[:, 0] = 1
-                Xd = dcsr.combine(sel, coeffs, Np=_size_bucket(N, 64))
+                eidx, coeff = rb.flat_rows(S.indptr, sel, coeffs)
             else:
                 N = min(B, n - processed)
                 if N <= 0:
                     break
-                Xd = dcsr.densify(p[processed:processed + N],
-                                  Bp=_size_bucket(N, 64))
+                eidx, coeff = rb.flat_rows(S.indptr,
+                                           p[processed:processed + N])
                 processed += N
-            # full-width structural elimination, then compact to the
-            # free columns and eliminate the finisher basis there (its
-            # pivots all live on free columns — no full-width gather).
-            # No coefficient parking (no L here) and no empty-chunk
-            # conds: the blocks are dense in the coefficient columns.
-            Xd = self.elim.eliminate_device(Xd, park=False,
-                                            skip_empty=False)
-            Xq = Xd[:, qsel_d]
-            del Xd          # free the full-width block before the RREF
+            Xq = rb.form_block(eidx, coeff, Bp=B)
             Xq = basis.apply(Xq)
             Xq, pivcol = rref_rows_device(Xq, prime, nb=128)
             hit = np.nonzero(pivcol >= 0)[0]
@@ -700,11 +881,13 @@ class _Engine:
             log.info("[finish/device] round %d: %d rows -> %d new pivots",
                      rounds, N, rr)
             if lowrank and rank_ub > 0 and rr < 0.9 * N:
-                if cand_mask_d is None:
+                if dcsr is None:
+                    from .device_csr import DeviceCSR
+                    dcsr = DeviceCSR(S)
                     mask = np.zeros(S.n, bool)
                     mask[p[:n]] = True
                     cand_mask_d = jnp.asarray(mask)
-                if self._completion_device(dcsr, cand_mask_d, qsel_d,
+                if self._completion_device(dcsr, cand_mask_d, rb,
                                            basis, rounds):
                     break
                 log.info("[finish/device] completion test failed; "
@@ -757,13 +940,18 @@ class _Engine:
             npiv, urows, (li, lj, lx), piv_origin = native.gplu(
                 S, rows, row_origin, Ug, self.U.qinv, self.prime,
                 want_L, max(max_piv, 1))
-            stage = []
-            for cols, vals in urows:
-                self.U.rows.append((cols, vals))
-                self.U.pivcol.append(int(cols[0]))
-                Ug.append_row(cols, vals)
-                stage.append((cols.astype(np.int64), vals, int(cols[0])))
-            self.elim.append_rows(stage, flush=False)
+            if urows:
+                goffs = np.zeros(len(urows) + 1, np.int64)
+                goffs[1:] = np.cumsum([len(c) for c, _ in urows])
+                gpiv = np.asarray([int(c[0]) for c, _ in urows], np.int64)
+                gcols = np.concatenate([c for c, _ in urows])
+                gvals = np.concatenate([v for _, v in urows])
+                self.U.add_rows_bulk(gpiv, goffs,
+                                     gcols.astype(np.int32),
+                                     gvals.astype(np.int32))
+                self.elim.append_segment(goffs, gcols, gvals, gpiv)
+                for cols, vals in urows:
+                    Ug.append_row(cols, vals)
             if want_L and li.size:
                 self.L.add_batch(li, lj, lx)
             self.Lp.extend(int(v) for v in piv_origin)
@@ -779,12 +967,14 @@ class _Engine:
         opts = self.opts
         m = self.m
         r_ub = min(S.n, m)
-        U_dyn = None
         x = np.zeros(m, dtype=np.int64)
         F = self.field
         rows_since_piv = 0
         early_done = False
         qinv = self.U.qinv
+        # ONE snapshot, then amortized-O(row nnz) appends — the repack-
+        # per-row variant was quadratic over the run (round-3 weak #5)
+        Ug = _GrowingCSR(self.U.snapshot_csr())
         for k in range(n):
             if self.L is None and self.U.n == r_ub:
                 log.info("[GPLU] full rank reached")
@@ -798,8 +988,7 @@ class _Engine:
             rows_since_piv += 1
             inew = int(p[k])
             iorig = int(p_in[inew]) if p_in is not None else inew
-            U_csr = self.U.snapshot_csr()
-            pattern, x = sparse_triangular_solve(U_csr, S, inew, qinv, x)
+            pattern, x = sparse_triangular_solve(Ug, S, inew, qinv, x)
             live = pattern[x[pattern] != 0]
             cand = live[qinv[live] < 0]
             if self.L is not None:
@@ -817,7 +1006,10 @@ class _Engine:
             beta = F.inverse(pivval)
             keep = np.sort(cand)
             vals = F.mul(np.int64(beta), x[keep])
-            self._push_u_row(jpiv, keep, vals)
+            cp, vp = self.U.add_row(jpiv, keep, vals)
+            self.elim.append_rows(
+                [(cp.astype(np.int64), vp, jpiv)], flush=False)
+            Ug.append_row(cp, vp)
             rows_since_piv = 0
             early_done = False
 
@@ -894,7 +1086,8 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
             # width: cap them at a quarter of the d = 2 width
             wcap = opts.device_dense_width if itemsize == 2 \
                 else opts.device_dense_width // 4
-            basis_bytes = nfree * min(S.n - npiv, nfree) * itemsize
+            basis_bytes = (eng.U.n + min(S.n - npiv, nfree)) \
+                * nfree * itemsize
             if (not opts.L and opts.enable_dense
                     and 0 < nfree <= wcap
                     and (S.n - npiv) * nfree >= opts.device_dense_min
@@ -974,7 +1167,7 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
             or (not opts.L and opts.enable_dense
                 and 0 < nfree <= wcap
                 and nrem * nfree >= opts.device_dense_min
-                and nfree * min(nrem, nfree) * itemsize
+                and (eng.U.n + min(nrem, nfree)) * nfree * itemsize
                 <= opts.device_dense_mem
                 and (density > opts.sparsity_threshold
                      or (opts.enable_tall_and_skinny

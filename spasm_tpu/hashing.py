@@ -87,3 +87,19 @@ class PRNG:
     def zzp_array(self, count: int) -> np.ndarray:
         return np.fromiter((self.zzp() for _ in range(count)),
                            dtype=np.int32, count=count)
+
+    def uniform(self, bound: int) -> int:
+        """Uniform integer in [0, bound) by masked rejection sampling
+        (same scheme spasm_prng_ZZp uses for GF(p) elements)."""
+        mask = 1
+        while mask < bound:
+            mask <<= 1
+        mask -= 1
+        while True:
+            x = self.u32() & mask
+            if x < bound:
+                return x
+
+    def uniform_array(self, count: int, bound: int) -> np.ndarray:
+        return np.fromiter((self.uniform(bound) for _ in range(count)),
+                           dtype=np.int64, count=count)

@@ -44,11 +44,13 @@ def estimate_density(A: CSR, p: np.ndarray, n: int, U: CSR,
                      qinv: np.ndarray, R: int = 100,
                      seed: int = 1) -> float:
     """Sample R random non-pivotal rows through the triangular solver and
-    average the residue density (spasm_schur.c:11-44)."""
+    average the residue density (spasm_schur.c:11-44).  Rows are drawn
+    from the deterministic SHA-256 PRNG (SURVEY §4 randomness anchor),
+    so estimates are reproducible run-to-run and across machines."""
     if n == 0 or A.m == U.n:
         return 0.0
-    rng = np.random.default_rng(seed)
-    sample = p[rng.integers(n, size=R)]
+    gen = PRNG.from_u64(A.prime, seed, 0xDE)
+    sample = p[gen.uniform_array(R, n)]
     nnz = 0
     for cols, _ in solve_rows(U, A, sample, qinv, A.prime):
         nnz += int(np.count_nonzero(qinv[cols] < 0))
@@ -260,25 +262,48 @@ def schur_dense_block(A: CSR, rows: np.ndarray, p_in: Optional[np.ndarray],
 
 def schur_dense_block_device(A: CSR, rows: np.ndarray,
                              p_in: Optional[np.ndarray],
-                             qinv: np.ndarray, eliminator):
-    """Device-resident dense Schur block for the RREF finisher.
+                             qinv: np.ndarray, eliminator,
+                             want_L: bool = False):
+    """Device-resident dense Schur block for the dense finishers.
 
     Densifies the rows on host (cheap, H2D only), eliminates against the
     device chunk basis, and *keeps the result on device*.  Returns
     (Xd, q, p_out): Xd a (len(rows), |q|) device block compacted to the
     non-pivotal columns q.
+
+    want_L additionally returns (lrows, lucols, lvals): the elimination
+    coefficients parked on pivotal columns, packed on device so only
+    their nnz crosses to host — lrows are block-local row indices,
+    lucols the U row index of each coefficient (qinv of its column).
     """
     import jax.numpy as jnp
     from .dense.elim import _size_bucket
     q = np.nonzero(qinv < 0)[0]
-    Bp = _size_bucket(len(rows), 8)
+    B = len(rows)
+    Bp = _size_bucket(B, 8)
     mp = _size_bucket(A.m + 1, 64)
     Xd = _block_rows_device(A, rows, Bp, mp)
     if eliminator.nrows > 0:
         Xd = eliminator.eliminate_device(Xd)
-    Xd = Xd[:len(rows)][:, jnp.asarray(q)]
     p_out = np.asarray([int(p_in[i]) if p_in is not None else int(i)
                         for i in rows], dtype=np.int64)
+    if want_L:
+        # the dead column mp-1 absorbs padded-slot writes during
+        # elimination; clear it so bucket-padded gathers stay clean
+        Xd = Xd.at[:, mp - 1].set(0)
+        piv_cols = np.nonzero(qinv >= 0)[0]
+        cpad = _size_bucket(piv_cols.size + 1, 64)
+        csel = np.full(cpad, mp - 1, np.int64)
+        csel[:piv_cols.size] = piv_cols
+        C = Xd[:, jnp.asarray(csel)]             # (Bp, cpad) coefficients
+        lr, lc, lv = _pack_nonzero_device(C, B, piv_cols.size)
+        lucols = qinv[piv_cols[lc]] if lc.size else lc.astype(np.int64)
+        qpad = _size_bucket(q.size + 1, 64)
+        qsel = np.full(qpad, mp - 1, np.int64)
+        qsel[:q.size] = q
+        Xq = Xd[:B][:, jnp.asarray(qsel)]        # (B, qpad), pad cols zero
+        return Xq, q, p_out, (lr.astype(np.int64), lucols, lv)
+    Xd = Xd[:B][:, jnp.asarray(q)]
     return Xd, q, p_out
 
 
@@ -301,7 +326,6 @@ def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
     prime = A.prime
     q = np.nonzero(qinv < 0)[0]
     X = np.zeros((N, m), dtype=np.int64)
-    rng = np.random.default_rng(seed_base + 12345)
     F = A.field
     for k in range(N):
         gen = PRNG.from_u64(prime, k + seed_base, 0)
@@ -310,7 +334,9 @@ def schur_dense_randomized(A: CSR, p: np.ndarray, n: int, U: CSR,
             coeffs = gen.zzp_array(n)
             _combine_rows(A, p[:n], coeffs, y, F)
         else:
-            sel = rng.integers(0, n, size=w)
+            # row selection and coefficients both come from the same
+            # deterministic per-combination PRNG stream
+            sel = gen.uniform_array(w, n)
             coeffs = np.empty(w, np.int32)
             coeffs[0] = 1
             if w > 1:
