@@ -56,6 +56,67 @@ def bench_mk13():
             "nnz": 810810, "n": 270270, "m": 135135}
 
 
+def bench_mk_ladder():
+    """Config-1 size ladder around the headline instance: mk12.b4 and
+    mk14.b6 (exact matching-complex boundary matrices, like mk13.b5).
+    kneser_10_4_1 itself is NOT reproducible offline: the 'kneser'
+    instances of the Dumas collection come from a simplicial family
+    whose exact construction (and hence entry layout) is not recoverable
+    from the reference repo, and hpac.imag.fr is unreachable — see
+    BASELINE.md; the mk ladder covers the same regime (structural-pivot-
+    rich boundary matrices at 3 sizes)."""
+    from spasm_tpu.gen import matching_complex_boundary
+    out = {}
+    for n, j, tag in ((12, 4, "mk12.b4"), (14, 6, "mk14.b6")):
+        t0 = time.time()
+        A = matching_complex_boundary(n, j)
+        gen_s = time.time() - t0
+        if A.n < A.m:
+            A = A.transpose()
+        t0 = time.time()
+        r = _rank(A.copy())
+        warm1 = time.time() - t0
+        t0 = time.time()
+        r2 = _rank(A)
+        warm = min(warm1, time.time() - t0)
+        assert r == r2
+        out[tag] = {"n": A.n, "m": A.m, "nnz": int(A.nnz), "rank": int(r),
+                    "gen_s": round(gen_s, 2), "warm_s": round(warm, 2)}
+    return out
+
+
+def bench_gl7d_workflow():
+    """Config 3: GL7d-shaped workload (dense leftmost columns) through
+    the reference's published recipe — `vertical_swap` preprocessing,
+    then rank with --dense-threshold 0.01
+    (/root/reference/README.md:86-91) — end-to-end via the CLI tools."""
+    import subprocess
+    import io as _io
+    import os
+    import tempfile
+    from spasm_tpu.gen import gl7d_like
+    from spasm_tpu import sio
+    A = gl7d_like(60000, 30000, 42013)
+    fd, path = tempfile.mkstemp(suffix=".sms")
+    with os.fdopen(fd, "w") as f:
+        sio.save_csr(A, f)
+    try:
+        t0 = time.time()
+        sw = subprocess.run(
+            [sys.executable, "-m", "spasm_tpu.cli.vertical_swap"],
+            stdin=open(path), capture_output=True, text=True, check=True)
+        rk = subprocess.run(
+            [sys.executable, "-m", "spasm_tpu.cli.rank", "--modulus",
+             "42013", "--dense-threshold", "0.01"],
+            input=sw.stdout, capture_output=True, text=True, check=True)
+        wall = time.time() - t0
+        rank = int(rk.stdout.strip().split()[-1])
+    finally:
+        os.unlink(path)
+    return {"n": A.n, "m": A.m, "nnz": int(A.nnz), "rank": rank,
+            "pipeline_s": round(wall, 2)}
+
+
 def bench_synthetic(n, w=8, p=42013):
     from spasm_tpu.gen import synthetic_sparse
     A = synthetic_sparse(n, n, w, p)
@@ -221,8 +282,12 @@ def main():
     }
     detail["config4_pluq_gesv_kernel"] = bench_pluq_gesv_kernel()
     detail["config5_dm_cert"] = bench_dm_cert()
+    if not quick:
+        detail["config3_gl7d_workflow"] = bench_gl7d_workflow()
     mk13 = bench_mk13() if not quick else {"warm_s": float("nan")}
     detail["mk13_b5"] = mk13
+    if not quick:
+        detail["config1_mk_ladder"] = bench_mk_ladder()
 
     vs = REF_WALL_MK13 / mk13["warm_s"]
     out = {

@@ -193,7 +193,9 @@ class ReducedBasis:
         self.F = device_field(prime)
         self.small = self.F.ndigits == 2
         self.nq = int(qfree.size)
-        self.M = _size_bucket(self.nq + 1, 64)
+        # width rounds to a 2048 multiple: the Mosaic row-sweep kernel
+        # tiles columns at 2048, and the pad is dead-column zeros
+        self.M = max(-(-(self.nq + 1) // 2048) * 2048, 2048)
         self.npad = _size_bucket(npiv + 1, 64)
         self.npiv = npiv
         self.dtype = jnp.int16 if prime <= 65535 else jnp.int32
@@ -230,7 +232,12 @@ class ReducedBasis:
         pcr = np.full(self.npad, self.m, np.int64)
         pcr[:npiv] = pivcols
         self._pivcol_of_row = pcr
-        R = jnp.zeros((self.npad, self.M), self.dtype)
+        from ..parallel.context import shard_cols
+        # SP axis (SURVEY §2.4): under an active mesh the reduced basis
+        # shards its WIDTH over 'cols' — every per-row gather stays
+        # local to a column shard, and the free-column budget scales
+        # with the mesh instead of one chip's HBM
+        R = shard_cols(jnp.zeros((self.npad, self.M), self.dtype))
         if npiv == 0:
             self.R = R
             return
@@ -261,9 +268,21 @@ class ReducedBasis:
                 S = next(t for t, _ in tiers if take <= t)
                 chunks.append((k, take, S))
                 k += take
+        # --- tail doubling: the long chain of small levels (deep
+        # topological tail) costs one sequential scan step per level;
+        # instead, solve (I + P) R_tail = B by log-depth squaring of the
+        # sparse intra-tail reference matrix P — ceil(log2 depth) bulk
+        # rounds over a compact buffer replace ~1000 tiny scan steps.
+        i0, R = self._build_tail(chunks, order, offs, cols, vals, lens,
+                                 pivcols, pivmap, R)
         # pack consecutive same-S chunks into fixed-length scans
+        import os
+        prof = os.environ.get("SPASM_PROFILE_FINISH")
+        import time as _t
+        tb0 = _t.time()
+        nscan = 0
         gp_of = dict(tiers)
-        i = 0
+        i = i0
         while i < len(chunks):
             S = chunks[i][2]
             gp = gp_of[S]
@@ -300,8 +319,117 @@ class ReducedBasis:
                               jnp.asarray(Cs), jnp.asarray(Vs),
                               self.colmap, self.pivmap, self.p64, self.w,
                               self.F.ndigits, self.small, S, K)
+            nscan += 1
+            if prof:
+                jax.block_until_ready(R)
+                print(f"[rb.build] scan {nscan} S={S} g={gp} "
+                      f"t={_t.time() - tb0:.2f}", flush=True)
+                tb0 = _t.time()
             i = j
         self.R = R
+
+    # tail-doubling budgets: max rows, max chunk tier, fill/round caps
+    _TAIL_CAP = 65536
+    _TAIL_TIER = 512
+    _TAIL_MIN_CHUNKS = 24
+    _TAIL_MAX_FILL = 128
+    _TAIL_MAX_ROUNDS = 24
+
+    def _build_tail(self, chunks, order, offs, cols, vals, lens,
+                    pivcols, pivmap_np, R):
+        """Process the deep-tail prefix of `chunks` by log-depth doubling
+        (see build()).  Returns (chunks consumed, R)."""
+        tc = 0
+        t = 0
+        while tc < len(chunks) and chunks[tc][2] <= self._TAIL_TIER \
+                and t + chunks[tc][1] <= self._TAIL_CAP:
+            t += chunks[tc][1]
+            tc += 1
+        if tc < self._TAIL_MIN_CHUNKS or t < 2048:
+            return 0, R
+        p = self.prime
+        tail_rows = order[:t]
+        loc = np.full(self.npiv, -1, np.int64)
+        loc[tail_rows] = np.arange(t)
+        ls = lens[tail_rows]
+        src = _flat_gather(offs[tail_rows], ls)
+        rr = np.repeat(np.arange(t), ls)
+        cc = cols[src].astype(np.int64)
+        vv = vals[src].astype(np.int64)
+        own = cc == pivcols[tail_rows[rr]]
+        refg = pivmap_np[cc]
+        is_ref = (refg != self.npad - 1) & ~own
+        # closure: every reference of a tail row lands inside the tail
+        refl = loc[refg[is_ref]]
+        if refl.size and refl.min() < 0:        # pragma: no cover
+            return 0, R
+        # precompute the Q = (-P)^(2^i) powers on host; bail out to the
+        # scan path if fill or round count explodes (non-chain DAGs)
+        qoffs = np.zeros(t + 1, np.int64)
+        np.add.at(qoffs, rr[is_ref] + 1, 1)
+        np.cumsum(qoffs, out=qoffs)
+        qcols = refl
+        qvals = (-vv[is_ref]) % p
+        qvals = np.where(qvals > p // 2, qvals - p, qvals)
+        powers = []
+        while qcols.size:
+            mx = int(np.diff(qoffs).max(initial=0))
+            if mx > self._TAIL_MAX_FILL or \
+                    len(powers) >= self._TAIL_MAX_ROUNDS:
+                return 0, R
+            powers.append((qoffs, qcols, qvals, mx))
+            qoffs, qcols, qvals = _host_spmm_modp(
+                qoffs, qcols, qvals, qoffs, qcols, qvals, t, p)
+        tpad = _size_bucket(t + 1, 64)
+        # free-entry scatter -> compact X
+        is_free = (~is_ref) & ~own
+        Kf = _k_bucket(int(np.bincount(rr[is_free], minlength=t)
+                           .max(initial=1)))
+        Cf = np.full((tpad, Kf), self.m, np.int32)
+        Vf = np.zeros((tpad, Kf), np.int32)
+        rf = rr[is_free]
+        pos = _slot_positions(rf)
+        Cf[rf, pos] = cc[is_free]
+        Vf[rf, pos] = vv[is_free]
+        SC = 16384
+        parts = []
+        for r0 in range(0, tpad, SC):
+            S = min(SC, tpad - r0)
+            Sb = _size_bucket(S, 64)
+            cpad = np.full((Sb, Kf), self.m, np.int32)
+            vpad = np.zeros((Sb, Kf), np.int32)
+            cpad[:S] = Cf[r0:r0 + S]
+            vpad[:S] = Vf[r0:r0 + S]
+            blk = _tail_scatter(jnp.asarray(cpad), jnp.asarray(vpad),
+                                self.colmap, self.p64, Sb, Kf, self.M,
+                                self.small)
+            parts.append(blk[:S].astype(self.dtype))
+        X = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        # doubling rounds (double-buffered; pad rows stay zero)
+        for qoffs, qcols, qvals, mx in powers:
+            Kq = _k_bucket(mx)
+            refs = np.full((tpad, Kq), tpad - 1, np.int32)
+            qv = np.zeros((tpad, Kq), np.int32)
+            qr = np.repeat(np.arange(t), np.diff(qoffs))
+            pos = _slot_positions(qr)
+            refs[qr, pos] = qcols
+            qv[qr, pos] = qvals
+            budget = self._GATHER_BUDGET
+            Bc = max(min(1 << (max(budget // max(Kq * self.M, 1),
+                                   1).bit_length() - 1), tpad, 4096), 64)
+            while tpad % Bc:
+                Bc //= 2
+            outs = []
+            for r0 in range(0, tpad, Bc):
+                outs.append(_tail_combine_chunk(
+                    X, r0, jnp.asarray(refs[r0:r0 + Bc]),
+                    jnp.asarray(qv[r0:r0 + Bc]), self.p64, self.w,
+                    Bc, Kq, self.F.ndigits, self.small))
+            X = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        tids = np.full(tpad, self.npad - 1, np.int32)
+        tids[:t] = tail_rows
+        R = _tail_scatter_into_R(R, jnp.asarray(tids), X)
+        return tc, R
 
     # -- phase B -----------------------------------------------------------
 
@@ -339,6 +467,7 @@ class ReducedBasis:
             cp = np.zeros((Bp, K), np.int32)
             cp[:B] = coeff
             eidx, coeff = ep, cp
+        from ..parallel.context import shard_cols
         outs = []
         for b0 in range(0, Bp, Bc):
             X = _form_chunk(jnp.asarray(eidx[b0:b0 + Bc], np.int64),
@@ -348,7 +477,7 @@ class ReducedBasis:
                             Bc, K, self.M, self.F.ndigits, self.small)
             outs.append(X.astype(self.dtype))
         Xd = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-        return Xd
+        return shard_cols(Xd)
 
     def flat_rows(self, A_indptr: np.ndarray, rows: np.ndarray,
                   coeffs: Optional[np.ndarray] = None):
@@ -397,6 +526,72 @@ class ReducedBasis:
         return self.npad * self.M * (2 if self.dtype == jnp.int16 else 4)
 
 
+def _host_spmm_modp(offs1, cols1, vals1, offs2, cols2, vals2, n: int,
+                    p: int):
+    """C = A @ B over GF(p) for tiny host CSR operands (balanced values,
+    duplicate coalescing, zero dropping) — used to square the sparse
+    tail-reference matrix during the log-depth backward substitution."""
+    lens1 = np.diff(offs1)
+    e_r = np.repeat(np.arange(n), lens1)
+    e_c = cols1
+    e_v = vals1
+    cnt = (offs2[e_c + 1] - offs2[e_c]).astype(np.int64)
+    r2 = np.repeat(e_r, cnt)
+    v1r = np.repeat(e_v.astype(np.int64), cnt)
+    src = _flat_gather(offs2[e_c], cnt)
+    c2 = cols2[src]
+    v2 = (v1r * vals2[src].astype(np.int64)) % p
+    key = r2 * np.int64(n) + c2
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    v2 = v2[order]
+    bounds = np.concatenate(([0], np.nonzero(np.diff(key))[0] + 1,
+                             [key.size])) if key.size else np.zeros(1,
+                                                                    np.int64)
+    sums = np.add.reduceat(v2 % p, bounds[:-1]) % p if key.size else \
+        np.empty(0, np.int64)
+    ukey = key[bounds[:-1]] if key.size else np.empty(0, np.int64)
+    live = sums != 0
+    ukey, sums = ukey[live], sums[live]
+    sums = np.where(sums > p // 2, sums - p, sums)
+    out_r = (ukey // n).astype(np.int64)
+    out_c = (ukey % n).astype(np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.add.at(offs, out_r + 1, 1)
+    np.cumsum(offs, out=offs)
+    return offs, out_c, sums.astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "K", "M", "small"))
+def _tail_scatter(cols, vals, colmap, p, S: int, K: int, M: int,
+                  small: bool):
+    """Free-entry scatter of S rows -> (S, M) int32 balanced."""
+    fc = colmap[cols]
+    iota = jnp.arange(S)
+    X = jnp.zeros((S, M), jnp.int32)
+    X = X.at[jnp.broadcast_to(iota[:, None], (S, K)), fc].add(vals)
+    return _balance32(X, p, small)
+
+
+@functools.partial(jax.jit, static_argnames=("Bc", "K", "d", "small"))
+def _tail_combine_chunk(Xold, r0, refs, vals, p, weights, Bc: int,
+                        K: int, d: int, small: bool):
+    """Rows [r0, r0+Bc) of X + Q @ X for a sparse Q given as per-row
+    (refs, vals) slots.  refs point at rows of the OLD X (dead -> a
+    zero pad row), so rounds run double-buffered."""
+    M = Xold.shape[1]
+    Xrows = jax.lax.dynamic_slice(Xold, (r0, 0), (Bc, M))
+    G = Xold[refs]                                # (Bc, K, M)
+    delta = _ref_combine(vals, G, p, weights, d)
+    return _balance32(Xrows.astype(jnp.int32) + delta, p,
+                      small).astype(Xold.dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tail_scatter_into_R(R, tids, X):
+    return R.at[tids].set(X.astype(R.dtype))
+
+
 def _k_bucket(k: int) -> int:
     """Entry-slot bucket: powers of two to 32, then multiples of 16
     (the slot count scales the dominant reference-gather traffic, so
@@ -409,6 +604,16 @@ def _k_bucket(k: int) -> int:
             b <<= 1
         return b
     return -(-k // 16) * 16
+
+
+def _slot_positions(row_ids: np.ndarray) -> np.ndarray:
+    """Per-entry slot index within its (sorted, grouped) row run."""
+    n = row_ids.size
+    if n == 0:
+        return np.empty(0, np.int64)
+    starts = np.concatenate(([0], np.nonzero(np.diff(row_ids))[0] + 1))
+    runlens = np.diff(np.concatenate((starts, [n])))
+    return np.arange(n) - np.repeat(starts, runlens)
 
 
 def _flat_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

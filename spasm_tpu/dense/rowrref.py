@@ -41,10 +41,127 @@ from .modp import matmul_digits, modinv, dnorm64
 from .elim import _mulsub, _submod, _scale_rows
 
 
-@functools.partial(jax.jit, static_argnames=("d", "nb", "sweep_small"),
+# ---------------------------------------------------------------------------
+# Mosaic row-sweep kernel (small primes): the nb sequential Jordan steps
+# of one panel run inside ONE Pallas program with the whole (nb, M)
+# panel resident in VMEM.  The XLA fori_loop version pays ~100 us of
+# latency per step (argmax + dynamic row read + outer-product update as
+# separate HBM-bound ops); in VMEM the per-step cost is pure VPU work.
+
+
+_SWEEP_TW = 2048      # column tile of the in-kernel panel update
+
+
+def _row_sweep_kernel(p_ref, P_ref, P_out, piv_out, *, nb: int):
+    """Column-tiled so per-step temporaries stay ~nb x TW: the full-panel
+    formulation's (v*P - g*u) temps tripled scoped VMEM and OOMed at
+    (128, 22016) int32."""
+    from .sweep_pallas import _reduce31 as red31
+    p = p_ref[0, 0]
+    invp = jnp.float32(1.0) / p.astype(jnp.float32)
+    M = P_ref.shape[1]
+    TW = _SWEEP_TW
+    T = M // TW
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    lane_tw = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+    sub_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+
+    P_out[:, :] = P_ref[:, :]
+    piv_out[:, :] = jnp.full((1, nb), -1, jnp.int32)
+
+    def step(k, _):
+        u = P_out[pl.ds(k, 1), :].astype(jnp.int32)      # (1, M) value
+        nz = u != 0
+        has = jnp.max(jnp.where(nz, jnp.int32(1), jnp.int32(0)),
+                      axis=1, keepdims=True)             # (1, 1)
+        hasb = has == 1
+        j = jnp.min(jnp.where(nz, lane_m, jnp.int32(M)),
+                    axis=1, keepdims=True)               # (1, 1)
+        j = jnp.where(hasb, j, jnp.int32(0))
+        at_j = lane_m == j                               # (1, M)
+        v = jnp.sum(jnp.where(at_j, u, jnp.int32(0)), axis=1,
+                    keepdims=True, dtype=jnp.int32)      # (1, 1)
+        v = jnp.where(hasb, v, jnp.int32(1))
+        # pivot column extraction from the tile containing j
+        jt = (j[0, 0] // TW) * TW
+        tile_j = P_out[:, pl.ds(jt, TW)].astype(jnp.int32)
+        at_j_t = lane_tw == (j[0, 0] - jt)
+        g = jnp.sum(jnp.where(at_j_t, tile_j, jnp.int32(0)), axis=1,
+                    keepdims=True, dtype=jnp.int32)      # (nb, 1)
+        g = jnp.where(jnp.logical_and(sub_nb != k, hasb), g,
+                      jnp.int32(0))
+
+        def tstep(t, _):
+            c0 = t * TW
+            tl = P_out[:, pl.ds(c0, TW)].astype(jnp.int32)
+            ut = jax.lax.dynamic_slice(u, (0, c0), (1, TW))
+            P_out[:, pl.ds(c0, TW)] = red31(
+                v * tl - g * ut, p, invp).astype(P_out.dtype)
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), tstep, jnp.int32(0))
+        sel = slot_iota == k
+        pj = jnp.where(hasb, j, jnp.int32(-1))
+        piv_out[:, :] = jnp.where(sel, pj, piv_out[:, :])
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), step, jnp.int32(0))
+
+
+try:                                     # pallas imports (TPU builds)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PL = True
+except Exception:                        # pragma: no cover
+    _HAVE_PL = False
+
+
+def _row_sweep_pallas(P, p32, nb: int):
+    """P (nb, M) int32 -> (P', pivcol (1, nb) int32).
+
+    The panel is aliased in/out (one VMEM buffer — (128, 22016) int32
+    is 11.3 MB, two copies would exceed VMEM).  int16 VMEM I/O is
+    rejected by this Mosaic build, so callers cast to int32 first.
+    """
+    kernel = functools.partial(_row_sweep_kernel, nb=nb)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(P.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((1, nb), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        input_output_aliases={1: 0},
+    )(p32.reshape(1, 1), P)
+
+
+_SWEEP_OK = None
+
+
+def _sweep_pallas_available(dtype) -> bool:
+    global _SWEEP_OK
+    if _SWEEP_OK is None:
+        try:
+            if jax.default_backend() != "tpu" or not _HAVE_PL:
+                _SWEEP_OK = False
+            else:
+                P = jnp.zeros((16, _SWEEP_TW), jnp.int32)
+                out = _row_sweep_pallas(P, jnp.full((1, 1), 42013,
+                                                    jnp.int32), 16)
+                jax.block_until_ready(out)
+                _SWEEP_OK = True
+        except Exception:                # pragma: no cover
+            _SWEEP_OK = False
+    return _SWEEP_OK
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d", "nb", "sweep_small",
+                                    "use_pallas"),
                    donate_argnums=(0,))
 def _rref_rows(X, p, weights, d: int, nb: int = 64,
-               sweep_small: bool = False):
+               sweep_small: bool = False, use_pallas: bool = False):
     """Row-sweep RREF of X (B, M) int32 balanced, B % nb == 0, last
     column dead (all zero).  Returns (X', pivcol):
 
@@ -73,21 +190,56 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
         delta = matmul_digits(C.astype(jnp.int32), X, p, weights, d)
         P = _submod(P, delta, p, small).astype(X.dtype)
 
-        def step(k, c):
-            P, pivl = c
-            u = P[k]
-            nz = u != 0
-            has = jnp.any(nz)
-            j = jnp.argmax(nz)
-            v = jnp.where(has, u[j], 1)
-            g = jnp.where((iota_nb != k) & has, P[:, j], 0)
-            P = _mulsub(v, P, g[:, None], u[None, :], p, small,
-                        rounds).astype(X.dtype)
-            pivl = pivl.at[k].set(jnp.where(has, j, -1).astype(jnp.int32))
-            return P, pivl
+        if use_pallas:
+            # sub-panels of 64 rows sweep inside ONE Mosaic program each
+            # (the whole sub-panel resident in VMEM; 64 is the largest
+            # row count whose value+buffer fit the 16 MB scoped VMEM);
+            # after each sweep the sub-panel is normalized (batched
+            # Fermat) and eliminated from the REST of the panel with one
+            # thin matmul, so the outer panel keeps nb=128 and the
+            # prior-elimination matmuls keep full-height MXU operands.
+            SB = 64
+            p32 = p.astype(jnp.int32).reshape(1, 1)
+            pivl = jnp.full((nb,), -1, jnp.int32)
+            iota_sub = jnp.arange(SB)
+            for s in range(nb // SB):
+                Ps = jax.lax.dynamic_slice(P, (s * SB, 0), (SB, M))
+                Ps, pr = _row_sweep_pallas(Ps.astype(jnp.int32), p32, SB)
+                pr = pr[0]
+                # normalize to unit pivots (canonical rows)
+                pvs = Ps[iota_sub, jnp.where(pr >= 0, pr, M - 1)]
+                inv = dnorm64(modinv(jnp.where(pr >= 0, pvs, 1), p), p)
+                Ns = _scale_rows(inv.astype(jnp.int32), Ps, p, small,
+                                 rounds).astype(X.dtype)
+                # eliminate the sub-panel's pivots from every other row
+                prs = jnp.where(pr >= 0, pr, M - 1)
+                C = P[:, prs]                         # (nb, SB)
+                insub = (iota_nb >= s * SB) & (iota_nb < (s + 1) * SB)
+                C = jnp.where((~insub[:, None]) & (pr >= 0)[None, :],
+                              C, 0)
+                delta = matmul_digits(C.astype(jnp.int32),
+                                      Ns.astype(jnp.int32), p, weights,
+                                      d)
+                P = _submod(P, delta, p, small).astype(X.dtype)
+                P = jax.lax.dynamic_update_slice(P, Ns, (s * SB, 0))
+                pivl = jax.lax.dynamic_update_slice(pivl, pr, (s * SB,))
+        else:
+            def step(k, c):
+                P, pivl = c
+                u = P[k]
+                nz = u != 0
+                has = jnp.any(nz)
+                j = jnp.argmax(nz)
+                v = jnp.where(has, u[j], 1)
+                g = jnp.where((iota_nb != k) & has, P[:, j], 0)
+                P = _mulsub(v, P, g[:, None], u[None, :], p, small,
+                            rounds).astype(X.dtype)
+                pivl = pivl.at[k].set(
+                    jnp.where(has, j, -1).astype(jnp.int32))
+                return P, pivl
 
-        P, pivl = jax.lax.fori_loop(
-            0, nb, step, (P, jnp.full((nb,), -1, jnp.int32)))
+            P, pivl = jax.lax.fori_loop(
+                0, nb, step, (P, jnp.full((nb,), -1, jnp.int32)))
         # normalize panel pivot rows (one batched Fermat inversion)
         pv = P[iota_nb, jnp.where(pivl >= 0, pivl, M - 1)]
         inv = dnorm64(modinv(jnp.where(pivl >= 0, pv, 1), p), p)
@@ -115,13 +267,23 @@ def rref_rows_device(Xd, p: int, nb: int = 64):
     Returns (Xd', pivcol (B,) np.ndarray).  nb is clamped so it divides
     B (all row buckets are powers of two or multiples of 512)."""
     from .modp import device_field
+    from .sweep_pallas import PALLAS_MAX_PRIME
     F = device_field(p)
     B = Xd.shape[0]
     nb = min(nb, B)
     while B % nb:
         nb //= 2
+    pall = (F.ndigits == 2 and p <= PALLAS_MAX_PRIME
+            and Xd.shape[1] % _SWEEP_TW == 0
+            and _sweep_pallas_available(Xd.dtype))
+    if pall and nb % 64:
+        nb = 64
+        while B % nb:
+            nb //= 2
+        if nb < 64:
+            pall = False
     Xd, pivcol = _rref_rows(Xd, jnp.int64(p), jnp.asarray(F.weights),
-                            F.ndigits, nb, p <= (1 << 23))
+                            F.ndigits, nb, p <= (1 << 23), pall)
     return Xd, np.asarray(pivcol)
 
 
@@ -154,6 +316,7 @@ class CompactBasis:
         self.p = p
         self.F = device_field(p)
         self.chunks = []          # (Rd (K, M), jpos_dev (K,))
+        self.jpos_host = []       # host copy of each chunk's jpos
         self.nrows = 0
 
     # Drain the device queue every few chunk applications: dispatch is
@@ -186,4 +349,5 @@ class CompactBasis:
                 np.asarray(out[-1][0][:1, :1])
         self.chunks = out
         self.chunks.append((Rd, jd))
+        self.jpos_host.append(np.asarray(jpos, np.int64))
         self.nrows += int(np.asarray(jpos).size)

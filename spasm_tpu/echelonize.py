@@ -808,12 +808,31 @@ class _Engine:
         t0 = time.time()
         old_un = self.U.n
 
+        # SPASM_PROFILE_FINISH=1: per-stage wall clocks with device syncs
+        # (syncs cost ~28 ms each on a tunneled TPU — opt-in only)
+        import os
+        prof = os.environ.get("SPASM_PROFILE_FINISH")
+        tprof = {}
+
+        def tick(name, value=None):
+            if not prof:
+                return
+            import jax
+            if value is not None:
+                jax.block_until_ready(value)
+            now = time.time()
+            tprof[name] = tprof.get(name, 0.0) + now - tick.last
+            tick.last = now
+        tick.last = time.time()
+
         qfree = np.nonzero(self.U.qinv < 0)[0]
         nq = qfree.size
         rb = ReducedBasis(m, prime, qfree, self.U.n)
         offs_u, cols_u, vals_u, piv_u, grp_u = self.U.flat_store()
+        tick("flat_store")
         with phase("reduced_basis"):
             rb.build(offs_u, cols_u, vals_u, piv_u, grp_u)
+        tick("build", rb.R)
         rb.set_entries(S.indices, S.data, S.nnz)
         M = rb.M
         q_ext = np.full(M, m, np.int64)      # slot -> global column
@@ -823,7 +842,14 @@ class _Engine:
         aspect = n / max(nq, 1)
         lowrank = (opts.enable_tall_and_skinny
                    and aspect > opts.tall_and_skinny_ratio)
-        B = min(_size_bucket(rank_ub + 64, 64), 8192)
+        # round height: the row-sweep RREF's panel matmuls cost ~2*B^2*M
+        # per round, so several 4096-rounds beat few 8192-rounds (the
+        # extra CompactBasis applies are linear in B and cheaper)
+        B = min(_size_bucket(rank_ub + 64, 64), 4096)
+        # residual cleanup rounds run at a small fixed height: a full-B
+        # round costs ~B^2*M in the row-sweep RREF regardless of how few
+        # live rows it carries
+        B_SMALL = min(1024, B)
         # sparse combination weight: the reference's coupon-collector
         # start (-log(0.01) * n / rank) capped low — shortfalls are
         # caught by the completion test + weight doubling, and a small w
@@ -832,7 +858,7 @@ class _Engine:
             if opts.low_rank_start_weight < 0 else \
             max(opts.low_rank_start_weight, 1)
         if opts.low_rank_start_weight < 0:
-            w = min(w, 16)
+            w = min(w, 8)
         # deterministic draws bound to the input matrix (SURVEY §4
         # randomness discipline): Philox keyed by the SHA-256 fingerprint
         rng = np.random.Generator(np.random.Philox(
@@ -860,9 +886,14 @@ class _Engine:
                 eidx, coeff = rb.flat_rows(S.indptr,
                                            p[processed:processed + N])
                 processed += N
-            Xq = rb.form_block(eidx, coeff, Bp=B)
+            tick("host_prep")
+            Xq = rb.form_block(eidx, coeff,
+                               Bp=B_SMALL if N <= B_SMALL else B)
+            tick("form", Xq)
             Xq = basis.apply(Xq)
+            tick("apply", Xq)
             Xq, pivcol = rref_rows_device(Xq, prime, nb=128)
+            tick("rref", Xq)
             hit = np.nonzero(pivcol >= 0)[0]
             rr = hit.size
             if rr:
@@ -877,27 +908,39 @@ class _Engine:
                 jpos[:rr] = pivcol[hit]
                 basis.add(Rd, jpos)
                 rank_ub -= rr
+            tick("basis_add")
             rounds += 1
             log.info("[finish/device] round %d: %d rows -> %d new pivots",
                      rounds, N, rr)
             if lowrank and rank_ub > 0 and rr < 0.9 * N:
+                # a weak round doubles the weight and keeps going —
+                # follow-up rounds shrink to B_SMALL; the dense
+                # completion test runs only once combinations stop
+                # yielding almost entirely
+                if rr >= 0.02 * N:
+                    log.info("[finish/device] weak round; weight "
+                             "%d -> %d", w, 2 * w)
+                    w = min(2 * w, max(n, 1))
+                    continue
                 if dcsr is None:
                     from .device_csr import DeviceCSR
                     dcsr = DeviceCSR(S)
                     mask = np.zeros(S.n, bool)
                     mask[p[:n]] = True
                     cand_mask_d = jnp.asarray(mask)
-                if self._completion_device(dcsr, cand_mask_d, rb,
-                                           basis, rounds):
+                done = self._completion_device(dcsr, cand_mask_d, rb,
+                                               basis, rounds)
+                tick("completion")
+                if done:
                     break
                 log.info("[finish/device] completion test failed; "
                          "weight %d -> %d", w, 2 * w)
                 w = min(2 * w, max(n, 1))
         # register the basis (final back-reduced versions) into U; the
         # engine's eliminator gets the chunks too so later engine stages
-        # (host finishers, schur) see the full pivot set
-        for Rd, jd in basis.chunks:
-            jpos = np.asarray(jd)
+        # (host finishers, schur) see the full pivot set.  jpos comes
+        # from the host-side copies — no device sync on this path.
+        for (Rd, jd), jpos in zip(basis.chunks, basis.jpos_host):
             real = jpos < M - 1
             if not np.any(real):
                 continue
@@ -905,6 +948,10 @@ class _Engine:
             Rr = Rd[jnp.asarray(np.nonzero(real)[0])]
             self.elim.append_device_chunk(Rr, q_ext, jr, dead_col=True)
             self.U.add_dense_rows_device(Rr, q_ext, q_ext[jr])
+        tick("register")
+        if prof:
+            log.info("[finish/device] profile: %s",
+                     {k: round(v, 2) for k, v in tprof.items()})
         log.info("[finish/device] done in %.1fs, %d new pivots",
                  time.time() - t0, self.U.n - old_un)
 
@@ -1033,6 +1080,11 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
     n, m = A.n, A.m
     t0 = time.time()
     log.info("[echelonize] start on %d x %d, %d nnz", n, m, A.nnz)
+    # prime the device->host channel in the background: tunneled TPU
+    # deployments pay a one-time ~100-230 s handshake on the FIRST
+    # transfer; overlapping it with host pivot search hides it entirely
+    from . import warm_device_async
+    warm_device_async()
     eng = _Engine(A, opts)
 
     S = A
@@ -1083,11 +1135,15 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
             itemsize = 2 if A.prime <= 65535 else 4
             # the d >= 3 arithmetic tiers run int64-emulated reductions
             # whose temporaries (and compile times) grow steeply with
-            # width: cap them at a quarter of the d = 2 width
-            wcap = opts.device_dense_width if itemsize == 2 \
-                else opts.device_dense_width // 4
+            # width: cap them at a quarter of the d = 2 width.  Under
+            # an active mesh the reduced basis shards its width over
+            # 'cols' (SP axis), so both budgets scale with the mesh.
+            from .parallel.context import col_quantum
+            kcols = col_quantum()
+            wcap = (opts.device_dense_width if itemsize == 2
+                    else opts.device_dense_width // 4) * kcols
             basis_bytes = (eng.U.n + min(S.n - npiv, nfree)) \
-                * nfree * itemsize
+                * nfree * itemsize // max(kcols, 1)
             if (not opts.L and opts.enable_dense
                     and 0 < nfree <= wcap
                     and (S.n - npiv) * nfree >= opts.device_dense_min
@@ -1160,15 +1216,17 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                  density, aspect)
         nfree = m - eng.U.n
         itemsize = 2 if A.prime <= 65535 else 4
-        wcap = opts.device_dense_width if itemsize == 2 \
-            else opts.device_dense_width // 4
+        from .parallel.context import col_quantum
+        kcols = col_quantum()
+        wcap = (opts.device_dense_width if itemsize == 2
+                else opts.device_dense_width // 4) * kcols
         use_device_finish = (
             status == 3
             or (not opts.L and opts.enable_dense
                 and 0 < nfree <= wcap
                 and nrem * nfree >= opts.device_dense_min
                 and (eng.U.n + min(nrem, nfree)) * nfree * itemsize
-                <= opts.device_dense_mem
+                // max(kcols, 1) <= opts.device_dense_mem
                 and (density > opts.sparsity_threshold
                      or (opts.enable_tall_and_skinny
                          and aspect > opts.tall_and_skinny_ratio))))

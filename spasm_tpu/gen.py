@@ -93,3 +93,31 @@ def synthetic_sparse(n: int, m: int, w: int, p: int, seed: int = 12345
     T = COO.from_entries(n, m, p, rows, cols, vals)
     T.n, T.m = n, m
     return T.tocsr()
+
+
+def gl7d_like(n: int, m: int, p: int, seed: int = 2024,
+              avg_nnz_per_row: float = 12.0) -> CSR:
+    """A GL7d-shaped workload: sparse matrix whose LEFTMOST columns are
+    much denser than the rest (power-law column-density profile).
+
+    The reference's GL7d14..GL7d22 instances (hpac.imag.fr, unreachable
+    offline — /root/reference/README.md:86-91) have this structure: the
+    rank tool only completes on them after `vertical_swap` (mirror the
+    columns so the dense ones move right, where structural pivot search
+    is cheap) with `--dense-threshold 0.01`.  This generator reproduces
+    the *workflow-relevant* structure (column-density skew), not the
+    exact entries, so the preprocessing + low-threshold-Schur pipeline
+    can be exercised and timed end-to-end.
+    """
+    from .csr import COO
+    rng = np.random.default_rng(seed)
+    nnz = int(n * avg_nnz_per_row)
+    # power-law column choice: density ~ 1 / (j + m/50)
+    wgt = 1.0 / (np.arange(m) + m / 50.0)
+    wgt /= wgt.sum()
+    cols = rng.choice(m, size=nnz, p=wgt)
+    rows = rng.integers(0, n, size=nnz)
+    vals = rng.integers(1, p, size=nnz)
+    T = COO.from_entries(n, m, p, rows, cols, vals)
+    T.n, T.m = n, m
+    return T.tocsr()

@@ -79,3 +79,84 @@ def test_concatenation_golden(matrix_dir):
     sio.save_csr(S, buf)
     expected = open(f"{REF_EXPECTED}/concatenation.1").read()
     assert buf.getvalue() == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-4 recoveries: io.1/io.2, perm.1/perm.2, submatrix.2 (provenance
+# rediscovered by structural analysis / exhaustive fixture search; see
+# PARITY.md "Expected/ artifact accounting").
+
+
+def _parse_sms_entries(path, one_based=True):
+    """Raw (rows, cols, vals) of an SMS body (terminator dropped)."""
+    toks = open(path).read().split()
+    has_header = toks[2] == "M"
+    body = toks[3:] if has_header else toks
+    a = np.asarray(body, dtype=np.int64).reshape(-1, 3)
+    if has_header and a[-1, 0] == 0 and a[-1, 1] == 0:
+        a = a[:-1]
+    off = 1 if one_based else 0
+    return a[:, 0] - off, a[:, 1] - off, a[:, 2]
+
+
+def _io1_triplets():
+    return _parse_sms_entries(f"{REF_EXPECTED}/io.1")
+
+
+def test_io_golden_compress():
+    """io.2 == spasm_compress(io.1): the reference's counting sort is
+    stable BY ROW ONLY (each row keeps insertion order,
+    spasm_triplet.c:99-158); our compress additionally sorts columns
+    within rows, so byte parity is shown through an explicit stable row
+    sort, and semantic parity through the dense matrices."""
+    r, c, v = _io1_triplets()
+    # byte-for-byte with the reference's ordering
+    order = np.argsort(r, kind="stable")
+    from spasm_tpu.csr import CSR
+    from spasm_tpu.field import Field
+    indptr = np.zeros(5, np.int64)
+    np.add.at(indptr, r + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    A_ref = CSR(4, 4, Field(42013), indptr, c[order].astype(np.int32),
+                v[order].astype(np.int32))
+    buf = io.StringIO()
+    sio.save_csr(A_ref, buf)
+    assert buf.getvalue() == open(f"{REF_EXPECTED}/io.2").read()
+    # our compress: same matrix
+    T = COO.from_entries(4, 4, 42013, r, c, v)
+    T.n, T.m = 4, 4
+    assert np.array_equal(T.tocsr().todense(), A_ref.todense())
+
+
+def test_perm_golden():
+    """perm.1 = io.1's matrix with rows reversed; perm.2 = rows AND
+    columns reversed (the vec_perm driver's P.A.Q^-1 with reversal
+    permutations).  Asserted at matrix level: the golden files are
+    0-based triplet dumps in the driver's own print order."""
+    r, c, v = _io1_triplets()
+    T = COO.from_entries(4, 4, 42013, r, c, v)
+    T.n, T.m = 4, 4
+    A = T.tocsr()
+    rev = np.arange(3, -1, -1)
+
+    def dense_of(path):
+        rr, cc, vv = _parse_sms_entries(path, one_based=False)
+        D = np.zeros((4, 4), np.int64)
+        D[rr, cc] = vv
+        return D
+
+    P1 = A.permute(p=rev)
+    assert np.array_equal(P1.todense(), dense_of(f"{REF_EXPECTED}/perm.1"))
+    P2 = A.permute(p=rev, qinv=rev)
+    assert np.array_equal(P2.todense(), dense_of(f"{REF_EXPECTED}/perm.2"))
+
+
+def test_submatrix2_golden(matrix_dir):
+    """submatrix.2 = the two 5x5 windows m1[0:5, 0:5] and m1[0:5, 5:10]
+    of m1.sms mod 46337, concatenated (found by exhaustive window search
+    over every fixture)."""
+    A, _ = sio.load_csr(str(matrix_dir / "m1.sms"), 46337)
+    buf = io.StringIO()
+    sio.save_csr(A.submatrix(0, 5, 0, 5), buf)
+    sio.save_csr(A.submatrix(0, 5, 5, 10), buf)
+    assert buf.getvalue() == open(f"{REF_EXPECTED}/submatrix.2").read()
