@@ -212,11 +212,13 @@ class UEliminator:
         # when an elimination actually needs the chunk basis (paths that
         # never eliminate, e.g. the reduced-basis finisher, pay nothing)
         self._segments: List[tuple] = []
+        self._deferred: List[tuple] = []     # (thunk, k)
 
     @property
     def nrows(self) -> int:
         return sum(r.k for r in self.runs) \
-            + sum(len(s[3]) for s in self._segments)
+            + sum(len(s[3]) for s in self._segments) \
+            + sum(k for _, k in self._deferred)
 
     def append_segment(self, offs, cols, vals, pivcols, levels=None):
         """Stage a flat bulk of pivot-first rows (value 1 at pivcols[k]);
@@ -250,6 +252,13 @@ class UEliminator:
         if flush:
             self.flush()
 
+    def append_deferred(self, thunk, k: int) -> None:
+        """Stage a registration thunk for k pivot rows (e.g. a device
+        chunk the finisher produced); it runs at the next flush, so
+        paths that never eliminate again (rank-only) never pay for its
+        gathers/pads/uploads."""
+        self._deferred.append((thunk, k))
+
     def _staged_rows(self):
         """Expand staged segments to per-row tuples (flush-time only)."""
         out = []
@@ -267,8 +276,13 @@ class UEliminator:
     _WIDE_CHUNK = 4096
 
     def flush(self):
-        if not self._segments:
-            return
+        if self._segments:
+            self._flush_segments()
+        while self._deferred:
+            thunk, _ = self._deferred.pop(0)
+            thunk(self)
+
+    def _flush_segments(self):
         stage = self._staged_rows()
         # partition the stage into chunks: aligned to level boundaries
         # (same-level rows -> no composition, so the wider the better),
@@ -405,6 +419,9 @@ class UEliminator:
         column by construction.
         """
         self.flush()        # keep engine ordering: staged rows first
+        self._register_device_chunk(V, cols, jpos, dead_col)
+
+    def _register_device_chunk(self, V, cols, jpos, dead_col=False):
         K, C = V.shape
         Kp = _bucket(K)
         Cp = C if dead_col else _bucket(C + 1)   # >= 1 dead column

@@ -34,9 +34,15 @@ _DIGIT_BITS = 8
 _DIGIT_BASE = 1 << _DIGIT_BITS          # 256
 
 # Max contraction depth per int8-matmul chunk so each anti-diagonal sum of
-# digit products accumulates exactly in int32:
-#   (#terms <= min(d, s+1)) * k * 128^2 < 2^31.
+# digit products accumulates exactly in int32: balanced base-256 digits
+# lie in [-128, 127], so |product| <= 128 * 127 = 16256 and
+#   (#terms <= min(d, s+1)) * k * 16256 < 2^31
+# holds for k = 2^16 at d == 2/3 (2 * 65536 * 16256 = 2.13e9 < 2^31).
 def _k_chunk(d: int) -> int:
+    # d == 3 diagonals sum up to 3 terms (3 * 2^15 * 16256 < 2^31);
+    # d >= 4 up to 4 terms at 2^14
+    if d == 2:
+        return 1 << 16
     return 1 << 14 if d >= 4 else 1 << 15
 
 

@@ -51,7 +51,7 @@ from .modp import (device_field, dnorm, dnorm64, matmul_digits, _digits,
 from .elim import _submod, _size_bucket
 
 
-def _ref_combine(V, G, p, weights, d: int):
+def _ref_combine(V, G, p, weights, d: int, small_acc: bool = False):
     """Exact sum_k V[:, k] * G[:, k, :] mod p, balanced int32 out.
 
     V (S, K) int32 balanced, G (S, K, M) balanced (int16/int32).
@@ -61,7 +61,16 @@ def _ref_combine(V, G, p, weights, d: int):
     with weighted Barrett passes exactly like matmul_digits.  An int64
     elementwise formulation is avoided deliberately: XLA materializes
     the (S, K, M) int64 product (multi-GB at finisher shapes).
+
+    small_acc (static; caller guarantees K * (p//2)^2 < 2^31): a single
+    int32 multiply-reduce replaces the d*d digit passes — no digit
+    extraction, one pass over G instead of ~4 (the measured phase-A
+    bottleneck).
     """
+    if small_acc:
+        acc = jnp.sum(V[:, :, None] * G.astype(jnp.int32), axis=1,
+                      dtype=jnp.int32)
+        return _reduce31(acc, p)
     Vd = _digits(V, d, p)                       # (d, S, K) int8
     Gd = _digits(G, d, p)                       # (d, S, K, M) int8
     dot = functools.partial(
@@ -95,10 +104,12 @@ def _balance32(X, p, small: bool):
     return dnorm(X.astype(jnp.int64), p)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "K", "d", "small"),
+@functools.partial(jax.jit,
+                   static_argnames=("S", "K", "d", "small", "small_acc"),
                    donate_argnums=(0,))
 def _phase_a_scan(R, rowids, cols, vals, colmap, pivmap, p, weights,
-                  d: int, small: bool, S: int, K: int):
+                  d: int, small: bool, S: int, K: int,
+                  small_acc: bool = False):
     """Backward-substitution sweep over a group of row chunks.
 
     R (npad, M) donated.  Per chunk: basis rows rowids[c] (S,) get
@@ -114,20 +125,30 @@ def _phase_a_scan(R, rowids, cols, vals, colmap, pivmap, p, weights,
         rid, C, V = x                          # rid (S,); C,V: (S, K)
         fc = colmap[C]                         # free slot or M-1 (dead)
         pr = pivmap[C]                         # R row or npad-1 (zero row)
-        X = jnp.zeros((S, M), jnp.int32)
-        X = X.at[jnp.broadcast_to(iota_S[:, None], (S, K)), fc].add(V)
         G = R[pr]                              # (S, K, M) row gather
-        delta = _ref_combine(V, G, p, weights, d)
-        blk = _submod(_balance32(X, p, small), delta, p, small)
+        # combine with NEGATED coefficients, then scatter the free
+        # entries straight onto the result — skips a zeros+scatter+
+        # balance round trip over the (S, M) block
+        blk = _ref_combine(-V, G, p, weights, d, small_acc)
+        blk = blk.at[jnp.broadcast_to(iota_S[:, None], (S, K)),
+                     fc].add(V)
+        blk = _balance32(blk, p, small)
+        # the dead column absorbed the reference-slot scatter values; it
+        # must stay zero (a rowspan-dependent row would otherwise carry
+        # junk there and claim a false pivot in the row-sweep RREF)
+        blk = blk.at[:, M - 1].set(0)
         return R.at[rid].set(blk.astype(R.dtype)), None
 
     R, _ = jax.lax.scan(body, R, (rowids, cols, vals))
     return R
 
 
-@functools.partial(jax.jit, static_argnames=("Bc", "K", "M", "d", "small"))
+@functools.partial(jax.jit,
+                   static_argnames=("Bc", "K", "M", "d", "small",
+                                    "small_acc"))
 def _form_chunk(eidx, coeff, indices, data, colmap, pivmap, R, p, weights,
-                Bc: int, K: int, M: int, d: int, small: bool):
+                Bc: int, K: int, M: int, d: int, small: bool,
+                small_acc: bool = False):
     """Eliminated compact block for Bc rows given as flat entry slots.
 
     eidx (Bc, K): positions into the entry arrays (dead slot -> the
@@ -152,8 +173,12 @@ def _form_chunk(eidx, coeff, indices, data, colmap, pivmap, R, p, weights,
         v.astype(acc_t))
     Xb = _reduce31(X, p) if small else dnorm(X, p)
     G = R[pr]                                   # (Bc, K, M)
-    delta = _ref_combine(v.astype(jnp.int32), G, p, weights, d)
-    return _submod(Xb, delta, p, small)
+    delta = _ref_combine(v.astype(jnp.int32), G, p, weights, d,
+                         small_acc)
+    out = _submod(Xb, delta, p, small)
+    # scatter routed reference-slot values onto the dead column; keep it
+    # zero so rowspan-dependent rows cannot claim a false pivot there
+    return out.at[:, M - 1].set(0)
 
 
 @functools.partial(jax.jit, static_argnames=("d",))
@@ -275,6 +300,21 @@ class ReducedBasis:
         # rounds over a compact buffer replace ~1000 tiny scan steps.
         i0, R = self._build_tail(chunks, order, offs, cols, vals, lens,
                                  pivcols, pivmap, R)
+        # one flat padded entry table for ALL rows (the per-chunk numpy
+        # loop it replaces cost ~1.2 s of device idle at 10^5 pivots):
+        # chunk slices then reduce to single fancy-index gathers
+        npad_rows = npiv
+        Call = np.full((npad_rows, K), self.m, np.int32)
+        Vall = np.zeros((npad_rows, K), np.int32)
+        nnz_u = int(offs[-1])
+        rr_all = np.repeat(np.arange(npiv), lens)
+        pos_all = _slot_positions(rr_all)
+        cc_all = cols[:nnz_u].astype(np.int64)
+        vv_all = vals[:nnz_u].astype(np.int32)
+        own_all = cc_all == pivcols[rr_all]
+        Call[rr_all, pos_all] = np.where(own_all, self.m, cc_all)
+        Vall[rr_all, pos_all] = np.where(own_all, 0, vv_all)
+
         # pack consecutive same-S chunks into fixed-length scans
         import os
         prof = os.environ.get("SPASM_PROFILE_FINISH")
@@ -301,24 +341,13 @@ class ReducedBasis:
                 o0, sz, _ = group[t]
                 rows_t = order[o0:o0 + sz]
                 rids[t, :sz] = rows_t
-                ls = lens[rows_t]
-                src = _flat_gather(offs[rows_t], ls)
-                rr = np.repeat(np.arange(sz), ls)
-                pos = np.arange(ls.sum()) - np.repeat(
-                    np.cumsum(ls) - ls, ls)
-                cc = cols[src]
-                vv = vals[src]
-                # a row's own pivot entry would gather its (still-zero)
-                # R row — inert, but mask it outright
-                own = cc == pivcols[rows_t[rr]]
-                cc = np.where(own, self.m, cc)
-                vv = np.where(own, 0, vv)
-                Cs[t, rr, pos] = cc
-                Vs[t, rr, pos] = vv
+                Cs[t, :sz] = Call[rows_t]
+                Vs[t, :sz] = Vall[rows_t]
             R = _phase_a_scan(R, jnp.asarray(rids),
                               jnp.asarray(Cs), jnp.asarray(Vs),
                               self.colmap, self.pivmap, self.p64, self.w,
-                              self.F.ndigits, self.small, S, K)
+                              self.F.ndigits, self.small, S, K,
+                              self._small_acc(K))
             nscan += 1
             if prof:
                 jax.block_until_ready(R)
@@ -424,7 +453,8 @@ class ReducedBasis:
                 outs.append(_tail_combine_chunk(
                     X, r0, jnp.asarray(refs[r0:r0 + Bc]),
                     jnp.asarray(qv[r0:r0 + Bc]), self.p64, self.w,
-                    Bc, Kq, self.F.ndigits, self.small))
+                    Bc, Kq, self.F.ndigits, self.small,
+                    self._small_acc(Kq)))
             X = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         tids = np.full(tpad, self.npad - 1, np.int32)
         tids[:t] = tail_rows
@@ -474,7 +504,8 @@ class ReducedBasis:
                             jnp.asarray(coeff[b0:b0 + Bc], np.int32),
                             self.indices, self.data, self.colmap,
                             self.pivmap, self.R, self.p64, self.w,
-                            Bc, K, self.M, self.F.ndigits, self.small)
+                            Bc, K, self.M, self.F.ndigits, self.small,
+                            self._small_acc(K))
             outs.append(X.astype(self.dtype))
         Xd = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         return shard_cols(Xd)
@@ -521,6 +552,10 @@ class ReducedBasis:
         return _elim_full_width(Y, self.R, jnp.asarray(pcr),
                                 jnp.asarray(qsel), self.p64, self.w,
                                 self.F.ndigits)
+
+    def _small_acc(self, K: int) -> bool:
+        """True when K balanced products fit one int32 accumulator."""
+        return K * (self.prime // 2) ** 2 < (1 << 31)
 
     def hbm_bytes(self) -> int:
         return self.npad * self.M * (2 if self.dtype == jnp.int16 else 4)
@@ -573,16 +608,18 @@ def _tail_scatter(cols, vals, colmap, p, S: int, K: int, M: int,
     return _balance32(X, p, small)
 
 
-@functools.partial(jax.jit, static_argnames=("Bc", "K", "d", "small"))
+@functools.partial(jax.jit,
+                   static_argnames=("Bc", "K", "d", "small", "small_acc"))
 def _tail_combine_chunk(Xold, r0, refs, vals, p, weights, Bc: int,
-                        K: int, d: int, small: bool):
+                        K: int, d: int, small: bool,
+                        small_acc: bool = False):
     """Rows [r0, r0+Bc) of X + Q @ X for a sparse Q given as per-row
     (refs, vals) slots.  refs point at rows of the OLD X (dead -> a
     zero pad row), so rounds run double-buffered."""
     M = Xold.shape[1]
     Xrows = jax.lax.dynamic_slice(Xold, (r0, 0), (Bc, M))
     G = Xold[refs]                                # (Bc, K, M)
-    delta = _ref_combine(vals, G, p, weights, d)
+    delta = _ref_combine(vals, G, p, weights, d, small_acc)
     return _balance32(Xrows.astype(jnp.int32) + delta, p,
                       small).astype(Xold.dtype)
 

@@ -617,6 +617,43 @@ class _Engine:
             self.Lp.extend(p_out[prows].tolist())
         return rank
 
+    def schur_sparse_reduced(self, S: CSR, rows_p: np.ndarray, n: int,
+                             p_in) -> tuple:
+        """Sparse Schur complement through the reduced basis (no-L
+        path): residues form directly in the compacted free-column
+        domain — per-row reference gathers instead of the full-width
+        chunked scans of schur_sparse — then pack back to CSR.
+        (reference: spasm_schur, spasm_schur.c:61-193)"""
+        import jax.numpy as jnp
+        from .dense.reduced import ReducedBasis
+        from .schur import _pack_nonzero_device
+        qfree = np.nonzero(self.U.qinv < 0)[0]
+        rb = ReducedBasis(self.m, self.prime, qfree, self.U.n)
+        offs_u, cols_u, vals_u, piv_u, grp_u = self.U.flat_store()
+        with phase("reduced_basis"):
+            rb.build(offs_u, cols_u, vals_u, piv_u, grp_u)
+        rb.set_entries(S.indices, S.data, S.nnz)
+        B = 8192
+        tri_r, tri_c, tri_v = [], [], []
+        counts = np.zeros(n, np.int64)
+        p_out = np.asarray(p_in, np.int64)[rows_p[:n]] \
+            if p_in is not None else np.asarray(rows_p[:n], np.int64)
+        for b0 in range(0, n, B):
+            idx = rows_p[b0:b0 + B]
+            eidx, coeff = rb.flat_rows(S.indptr, idx)
+            Xd = rb.form_block(eidx, coeff, Bp=B)
+            r, c, v = _pack_nonzero_device(Xd, len(idx), rb.nq)
+            np.add.at(counts, b0 + r.astype(np.int64), 1)
+            tri_r.append(b0 + r.astype(np.int64))
+            tri_c.append(qfree[c.astype(np.int64)].astype(np.int32))
+            tri_v.append(v)
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        S2 = CSR(n, self.m, self.field, indptr,
+                 np.concatenate(tri_c) if tri_c else np.empty(0, np.int32),
+                 np.concatenate(tri_v) if tri_v else np.empty(0, np.int32))
+        return S2, p_out
+
     # -- completion test ---------------------------------------------------
 
     def test_completion(self, S: CSR, p: np.ndarray, n: int) -> bool:
@@ -946,7 +983,12 @@ class _Engine:
                 continue
             jr = jpos[real]
             Rr = Rd[jnp.asarray(np.nonzero(real)[0])]
-            self.elim.append_device_chunk(Rr, q_ext, jr, dead_col=True)
+            # elim registration defers to first use: the gathers, pads
+            # and metadata uploads cost real wall-clock and nothing on
+            # the rank path ever eliminates after the finisher
+            self.elim.append_deferred(
+                lambda el, V=Rr, jj=jr: el._register_device_chunk(
+                    V, q_ext, jj, dead_col=True), int(jr.size))
             self.U.add_dense_rows_device(Rr, q_ext, q_ext[jr])
         tick("register")
         if prof:
@@ -1126,6 +1168,14 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                 break
             log.info("[echelonize] round %d", rnd)
             npiv, p = eng.extract_structural(S, p_in)
+            if eng.U.n == m and not opts.L:
+                # full column rank: nothing left to eliminate (every
+                # further row reduces to zero) — mk14.b6-style matrices
+                # reach this straight from structural pivots
+                log.info("[echelonize] full column rank from "
+                         "structural pivots")
+                status = 1
+                break
             # TPU-first policy: once the free-column count fits a dense
             # device block, the remaining rank belongs on the MXU —
             # skip further sparse Schur rounds (each would eliminate
@@ -1168,10 +1218,20 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
                 status = 2
                 break
             fact_view = LU(eng.U.n, U_csr, eng.U.qinv)
+            nrows_s = S.n - npiv
+            use_rb_schur = (
+                eng.L is None and nfree > 0
+                and eng.U.n * nfree * itemsize
+                <= opts.device_dense_mem // 2
+                and nrows_s * m >= (1 << 21))
             with phase("schur_sparse"):
-                S2, p_out = schur_sparse(S, p[npiv:], S.n - npiv,
-                                         fact_view, density, eng.L, p_in,
-                                         eliminator=eng.elim)
+                if use_rb_schur:
+                    S2, p_out = eng.schur_sparse_reduced(
+                        S, p[npiv:], nrows_s, p_in)
+                else:
+                    S2, p_out = schur_sparse(S, p[npiv:], nrows_s,
+                                             fact_view, density, eng.L,
+                                             p_in, eliminator=eng.elim)
             S = S2
             p_in = p_out
             npiv = 0

@@ -188,3 +188,30 @@ def test_schur_device_wide_matrix():
     assert np.array_equal(S_dev.indptr, S_host.indptr)
     assert np.array_equal(S_dev.indices, S_host.indices)
     assert np.array_equal(S_dev.data, S_host.data)
+
+
+def test_device_finisher_rowspan_dependent_rows():
+    """Rows lying exactly in the structural pivots' rowspan must yield
+    NO finisher pivots (regression: reference-slot scatter values used
+    to leak into the reduced basis' dead column, where such rows could
+    claim a false pivot and corrupt the rank upper-bound bookkeeping)."""
+    import numpy as np
+    from spasm_tpu.csr import CSR
+    from spasm_tpu import echelonize, EchelonizeOptions
+    p = 42013
+    rng = np.random.default_rng(11)
+    D = np.where(rng.random((60, 80)) < 0.2,
+                 rng.integers(1, p, (60, 80)), 0).astype(np.int64)
+    # duplicate a batch of rows (dependent but nonzero)
+    A = np.vstack([D, D[:25] * 3 % p])
+    M = CSR.from_dense(A % p, p)
+    r_host = echelonize(M.copy(), EchelonizeOptions(
+        enable_dense=False)).r
+    fact = echelonize(M.copy(), EchelonizeOptions(device_dense_min=0))
+    assert fact.r == r_host
+    # every U pivot column must be a REAL column (never the dead pad)
+    assert fact.qinv.size == M.m
+    U = fact.U
+    for i in range(U.n):
+        c, v = U.row(i)
+        assert v[0] == 1 and c[0] < M.m

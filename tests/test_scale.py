@@ -69,3 +69,25 @@ def test_scale_100k_rows_with_checkpoint(tmp_path):
         checkpoint_interval_s=5.0)
     fact = echelonize(A, opts)
     assert fact.r == N + rank_D
+
+
+def test_scale_100k_complete_pluq():
+    """Complete PLUQ at >= 1e5 rows (the analog of the reference's
+    LongTest full-LU runs, /root/reference/tests/CMakeLists.txt:43-44):
+    A == L @ U verified on random probe vectors."""
+    from spasm_tpu.spmv import xApy
+    A, rank_D = _build(seed=9)
+    fact = echelonize(A.copy(), EchelonizeOptions(L=True, complete=True))
+    assert fact.r == N + rank_D and fact.complete
+    L, U = fact.L, fact.U
+    F = A.field
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        x = rng.integers(-(A.prime // 2), A.prime // 2, A.n)
+        yA = np.zeros(A.m, np.int64)
+        xApy(x, A, yA)
+        t = np.zeros(L.m, np.int64)
+        xApy(x, L, t)
+        yLU = np.zeros(U.m, np.int64)
+        xApy(t, U, yLU)
+        assert np.array_equal(F.narray(yA), F.narray(yLU))
