@@ -252,9 +252,11 @@ def bench_mxu():
     Z = modp_matmul(Xi, Xi, p)
     _ = np.asarray(Z[0, 0])
     t0 = time.time()
-    Z = modp_matmul(Z, Z, p)
+    reps = 20            # amortize the ~28 ms tunnel sync like the
+    for _ in range(reps):  # int8 measurement above
+        Z = modp_matmul(Z, Z, p)
     _ = np.asarray(Z[0, 0])
-    gf_dt = time.time() - t0
+    gf_dt = (time.time() - t0) / reps
     gf_gops = 2 * n ** 3 / gf_dt / 1e9
     # one exact GF(p) MAC costs 4 int8 MACs in the d=2 digit scheme, so
     # the achievable ceiling is peak/4; report utilization against it

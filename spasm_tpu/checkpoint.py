@@ -102,6 +102,7 @@ def save_checkpoint(path: str, *, fingerprint: bytes, engine,
     if p is not None:
         payload["p"] = np.asarray(p, np.int64)
     if eng.L is not None:
+        eng.L.flush_pending()
         l_rows, l_cols, l_vals = eng.L.rows, eng.L.cols, eng.L.vals
         payload["l_rows"] = (np.concatenate(l_rows).astype(np.int64)
                              if l_rows else np.empty(0, np.int64))

@@ -421,7 +421,11 @@ class UEliminator:
         self.flush()        # keep engine ordering: staged rows first
         self._register_device_chunk(V, cols, jpos, dead_col)
 
-    def _register_device_chunk(self, V, cols, jpos, dead_col=False):
+    def _register_device_chunk(self, V, cols, jpos, dead_col=False,
+                               winv=None):
+        """winv: for a COMPOSED device chunk (rows interact), the
+        (K, K) inverse used to convert parked coefficient gathers back
+        to per-U-row coefficients (see _Run.winv)."""
         K, C = V.shape
         Kp = _bucket(K)
         Cp = C if dead_col else _bucket(C + 1)   # >= 1 dead column
@@ -435,8 +439,11 @@ class UEliminator:
                 C + np.arange(Kp - K) % (Cp - C)
         colsp = np.full(Cp, self.m, np.int64)
         colsp[:C] = np.asarray(cols, np.int64)
+        if winv is not None and Kp != K:
+            wpad = jnp.eye(Kp, dtype=jnp.int32)
+            winv = wpad.at[:K, :K].set(winv.astype(jnp.int32))
         self.runs.append(_Run(jnp.asarray(colsp)[None], jnp.asarray(jp)[None],
-                              V[None], K))
+                              V[None], K, winv))
 
     def pad_block(self, X: np.ndarray):
         """Host block (B, m) -> padded device array (row/col buckets;

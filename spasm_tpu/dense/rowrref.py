@@ -262,10 +262,12 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
         0, npanel, panel, (X, jnp.full((B,), -1, jnp.int32)))
 
 
-def rref_rows_device(Xd, p: int, nb: int = 64):
+def rref_rows_device(Xd, p: int, nb: int = 64, sync: bool = True):
     """Host-facing wrapper.  Xd: (B, M) device array, last column dead.
     Returns (Xd', pivcol (B,) np.ndarray).  nb is clamped so it divides
-    B (all row buckets are powers of two or multiples of 512)."""
+    B (all row buckets are powers of two or multiples of 512).
+    sync=False returns pivcol as a DEVICE array so callers can overlap
+    more work before paying the device->host round trip."""
     from .modp import device_field
     from .sweep_pallas import PALLAS_MAX_PRIME
     F = device_field(p)
@@ -284,7 +286,7 @@ def rref_rows_device(Xd, p: int, nb: int = 64):
             pall = False
     Xd, pivcol = _rref_rows(Xd, jnp.int64(p), jnp.asarray(F.weights),
                             F.ndigits, nb, p <= (1 << 23), pall)
-    return Xd, np.asarray(pivcol)
+    return Xd, (np.asarray(pivcol) if sync else pivcol)
 
 
 @functools.partial(jax.jit, static_argnames=("d",), donate_argnums=(0,))

@@ -104,13 +104,30 @@ _DEVICE_LU_MIN = 1 << 16
 
 
 class _LBuilder:
-    """Triplet accumulator for L (the reference's Ltmp)."""
+    """Triplet accumulator for L (the reference's Ltmp).
+
+    Dense-factor parts may stay DEVICE-RESIDENT via add_pending: a
+    thunk returning (rows, cols, vals) host triplets runs only when the
+    L matrix is actually built, so factorization wall-clock excludes
+    the factors' device->host transfer (~GBs on big complete PLUQs —
+    solves can consume device factors without ever paying it)."""
 
     def __init__(self, prime: int):
         self.prime = prime
         self.rows: List[np.ndarray] = []
         self.cols: List[np.ndarray] = []
         self.vals: List[np.ndarray] = []
+        self._pending: List = []
+
+    def add_pending(self, thunk):
+        self._pending.append(thunk)
+
+    def flush_pending(self):
+        pending, self._pending = self._pending, []
+        for th in pending:
+            r, c, v = th()
+            if len(r):
+                self.add_batch(r, c, v)
 
     def add(self, i: int, j: int, x: int):
         self.add_batch(np.asarray([i], np.int64), np.asarray([j], np.int64),
@@ -134,6 +151,7 @@ class _LBuilder:
 
     def build(self, n: int, ncols: int) -> CSR:
         from .csr import COO
+        self.flush_pending()
         if self.rows:
             r = np.concatenate(self.rows)
             c = np.concatenate(self.cols)
@@ -423,12 +441,13 @@ class LU:
                  qinv: Optional[np.ndarray] = None,
                  L: Optional[CSR] = None,
                  p: Optional[np.ndarray] = None, complete: bool = False,
-                 u_thunk=None):
+                 u_thunk=None, l_thunk=None):
         self.r = r
         self._U = U
         self._u_thunk = u_thunk
         self.qinv = qinv        # (m,) pivot of col j on row qinv[j] of U
-        self.L = L
+        self._L = L
+        self._l_thunk = l_thunk
         self.p = p              # (r,) original row of pivot k
         self.complete = complete
 
@@ -443,6 +462,18 @@ class LU:
     def U(self, value):
         self._U = value
         self._u_thunk = None
+
+    @property
+    def L(self) -> Optional[CSR]:
+        if self._L is None and self._l_thunk is not None:
+            self._L = self._l_thunk()
+            self._l_thunk = None
+        return self._L
+
+    @L.setter
+    def L(self, value):
+        self._L = value
+        self._l_thunk = None
 
 
 class _Engine:
@@ -567,53 +598,74 @@ class _Engine:
     def _dense_lu_block_device(self, S: CSR, rows: np.ndarray, p_in,
                                lmark: int) -> int:
         """Device-resident L-mode dense block (round-4 redesign of the
-        host path): Schur elimination, packed L-coefficient extraction,
-        column-pivoted LU and factor merge all run on device; only the
-        factors' actual nonzeros cross device->host, and every host
-        update is a bulk array operation (update_fact_after_LU,
-        spasm_echelonize.c:228-313, without its per-row loops).
+        host path): Schur elimination, column-pivoted LU and factor
+        merge all run on device.  The factors themselves STAY on device:
+        L receives lazy materialization thunks, U registers the dense
+        block as a pending device segment, and the eliminator gets a
+        device-COMPOSED chunk (with its (I+W)^-1 so later blocks park
+        correct per-U-row coefficients) — no factor-sized device->host
+        transfer happens unless the caller reads L/U.
+        (reference: update_fact_after_LU, spasm_echelonize.c:228-313)
         Returns the block's rank."""
+        import jax.numpy as jnp
         from .dense.elim import dense_lu_device
-        from .schur import _pack_nonzero_device, schur_dense_block_device
-        Xq, q, p_out, (slr, sluc, slv) = schur_dense_block_device(
+        from .dense.block import _unit_upper_inverse_log
+        from .dense.modp import matmul_digits, device_field
+        from .schur import schur_dense_block_device
+        Xq, q, p_out, (Cd, piv_cols) = schur_dense_block_device(
             S, rows, p_in, self.U.qinv, self.elim, want_L=True)
-        if slr.size:                  # coefficients against prior pivots
-            self.L.add_batch(p_out[slr], sluc, slv)
         prows, pivcols, Ld, Ud = dense_lu_device(Xq, self.prime)
         rank = int(pivcols.size)
-        if not self.opts.complete:
-            pivotal = p_out[prows] if rank else np.empty(0, np.int64)
-            self.L.rollback_filter(lmark, lambda r: np.isin(r, pivotal))
+        complete = self.opts.complete
+        B = len(rows)
+        keep_mask = None
+        if not complete:
+            keep_mask = np.zeros(B, bool)
+            if rank:
+                keep_mask[prows] = True
+        # deferred L part 1: coefficients against prior pivots
+        ucols_of = self.U.qinv[piv_cols].copy()
+
+        def thunk_C(Cd=Cd, npc=piv_cols.size, uc=ucols_of, po=p_out,
+                    keep=keep_mask, B=B):
+            C = np.asarray(Cd)[:B, :npc]
+            if keep is not None:
+                C = np.where(keep[:, None], C, 0)
+            r, c = np.nonzero(C)
+            return po[r], uc[c], C[r, c].astype(np.int64)
+
+        self.L.add_pending(thunk_C)
         ubase = self.U.n
         if rank:
-            # dense-factor multipliers -> L
-            lr2, lc2, lv2 = _pack_nonzero_device(Ld, Ld.shape[0], rank)
-            lr2 = lr2.astype(np.int64)
-            if not self.opts.complete:
-                keep = np.isin(lr2, prows)
-                lr2, lc2, lv2 = lr2[keep], lc2[keep], lv2[keep]
-            if lr2.size:
-                self.L.add_batch(p_out[lr2], ubase + lc2.astype(np.int64),
-                                 lv2)
-            # unit-pivot U rows -> bulk pivot-first push
-            ur, uc, uv = _pack_nonzero_device(Ud, rank, Ud.shape[1])
-            gcols = q[uc.astype(np.int64)]
-            counts = np.bincount(ur, minlength=rank).astype(np.int64)
-            offs = np.concatenate(([0], np.cumsum(counts)))
+            # deferred L part 2: the dense factor's multipliers
+            def thunk_Ld(Ld=Ld, po=p_out, ubase=ubase, keep=keep_mask,
+                         B=B):
+                Lh = np.asarray(Ld)[:B]
+                if keep is not None:
+                    Lh = np.where(keep[:, None], Lh, 0)
+                r, c = np.nonzero(Lh)
+                return po[r], ubase + c, Lh[r, c].astype(np.int64)
+
+            self.L.add_pending(thunk_Ld)
+            # U rows stay device-resident (lazy pivot-first rows)
             gpiv = q[pivcols]
-            rowrep = np.repeat(np.arange(rank), counts)
-            on_piv = gcols == gpiv[rowrep]
-            piv_pos = np.flatnonzero(on_piv)
-            first = offs[:-1]
-            cols2 = gcols.copy()
-            vals2 = uv.astype(np.int32).copy()
-            cols2[piv_pos] = gcols[first]
-            vals2[piv_pos] = vals2[first]
-            cols2[first] = gpiv
-            vals2[first] = 1
-            self.U.add_rows_bulk(gpiv, offs, cols2.astype(np.int32),
-                                 vals2)
-            self.elim.append_segment(offs, cols2, vals2, gpiv)
+            colmap = np.full(Ud.shape[1], self.m, np.int64)
+            colmap[:q.size] = q
+            self.U.add_dense_rows_device(Ud, colmap, gpiv)
+            # eliminator: compose (I+W)^-1 ON DEVICE so later blocks
+            # eliminate against this factor without a 10^7-entry host
+            # restaging; winv rides along for coefficient parking
+            F = device_field(self.prime)
+            p64 = jnp.int64(self.prime)
+            wts = jnp.asarray(F.weights)
+            W = Ud[:, jnp.asarray(pivcols)]
+            tri = jnp.triu(jnp.ones((rank, rank), bool), 1)
+            W = jnp.where(tri, W, 0)
+            Winv = _unit_upper_inverse_log(W, p64, wts, F.ndigits)
+            V = matmul_digits(Winv, Ud, p64, wts, F.ndigits)
+            self.elim.flush()
+            self.elim._register_device_chunk(
+                V, colmap, np.asarray(pivcols, np.int64), winv=Winv)
             self.Lp.extend(p_out[prows].tolist())
         return rank
 
@@ -908,28 +960,50 @@ class _Engine:
         log.info("[finish/device] %s mode: %d rows x %d free cols, "
                  "block %d, basis %d", "lowrank" if lowrank else "rows",
                  n, nq, B, self.U.n)
-        while rank_ub > 0:
+        def make_block(nrows, rows_from):
+            """Host prep + device dispatch of one eliminated block."""
             if lowrank:
-                N = min(B, rank_ub + 64)
-                sel = p[rng.integers(0, n, size=(N, w))]
-                coeffs = rng.integers(1, prime, size=(N, w))
+                sel = p[rng.integers(0, n, size=(nrows, w))]
+                coeffs = rng.integers(1, prime, size=(nrows, w))
                 coeffs = self.field.narray(coeffs).astype(np.int32)
                 coeffs[:, 0] = 1
                 eidx, coeff = rb.flat_rows(S.indptr, sel, coeffs)
             else:
-                N = min(B, n - processed)
-                if N <= 0:
-                    break
-                eidx, coeff = rb.flat_rows(S.indptr,
-                                           p[processed:processed + N])
-                processed += N
-            tick("host_prep")
-            Xq = rb.form_block(eidx, coeff,
-                               Bp=B_SMALL if N <= B_SMALL else B)
-            tick("form", Xq)
+                eidx, coeff = rb.flat_rows(
+                    S.indptr, p[rows_from:rows_from + nrows])
+            return rb.form_block(
+                eidx, coeff, Bp=B_SMALL if nrows <= B_SMALL else B)
+
+        prefetched = None           # (N, formed block)
+        while rank_ub > 0:
+            if prefetched is not None:
+                N, Xq = prefetched
+                prefetched = None
+            else:
+                if lowrank:
+                    N = min(B, rank_ub + 64)
+                else:
+                    N = min(B, n - processed)
+                    if N <= 0:
+                        break
+                    processed += N
+                tick("host_prep")
+                Xq = make_block(N, processed - N)
+                tick("form", Xq)
             Xq = basis.apply(Xq)
             tick("apply", Xq)
-            Xq, pivcol = rref_rows_device(Xq, prime, nb=128)
+            Xq, pivd = rref_rows_device(Xq, prime, nb=128, sync=False)
+            # overlap the next block's host prep + forming with the
+            # in-flight RREF: its gathers only touch R (not the basis),
+            # so a block formed now is still valid next round
+            if lowrank and rank_ub - N > 0:
+                N2 = min(B, rank_ub - N + 64)   # full-yield assumption
+                prefetched = (N2, make_block(N2, 0))
+            elif not lowrank and processed < n:
+                N2 = min(B, n - processed)
+                prefetched = (N2, make_block(N2, processed))
+                processed += N2
+            pivcol = np.asarray(pivd)
             tick("rref", Xq)
             hit = np.nonzero(pivcol >= 0)[0]
             rr = hit.size
@@ -1317,7 +1391,10 @@ def echelonize(A: CSR, opts: Optional[EchelonizeOptions] = None) -> LU:
     r = eng.U.n
     fact = LU(r, None, eng.U.qinv.copy(), u_thunk=eng.U.snapshot_csr)
     if opts.L:
-        fact.L = eng.L.build(n, r)
+        # L materializes lazily too: complete-PLUQ factors can be
+        # gigabytes, and device-resident consumers never pay the
+        # device->host transfer
+        fact._l_thunk = lambda: eng.L.build(n, r)
         fact.p = np.asarray(eng.Lp[:r], dtype=np.int64)
         fact.complete = opts.complete
     nnz = eng.U.nnz()

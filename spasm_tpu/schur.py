@@ -271,10 +271,10 @@ def schur_dense_block_device(A: CSR, rows: np.ndarray,
     (Xd, q, p_out): Xd a (len(rows), |q|) device block compacted to the
     non-pivotal columns q.
 
-    want_L additionally returns (lrows, lucols, lvals): the elimination
-    coefficients parked on pivotal columns, packed on device so only
-    their nnz crosses to host — lrows are block-local row indices,
-    lucols the U row index of each coefficient (qinv of its column).
+    want_L additionally returns (Cd, piv_cols): the elimination
+    coefficients parked on pivotal columns, as a DEVICE block (Bp,
+    cpad) over the global pivot columns piv_cols — the caller decides
+    when (if ever) their nonzeros cross to host.
     """
     import jax.numpy as jnp
     from .dense.elim import _size_bucket
@@ -295,14 +295,12 @@ def schur_dense_block_device(A: CSR, rows: np.ndarray,
         cpad = _size_bucket(piv_cols.size + 1, 64)
         csel = np.full(cpad, mp - 1, np.int64)
         csel[:piv_cols.size] = piv_cols
-        C = Xd[:, jnp.asarray(csel)]             # (Bp, cpad) coefficients
-        lr, lc, lv = _pack_nonzero_device(C, B, piv_cols.size)
-        lucols = qinv[piv_cols[lc]] if lc.size else lc.astype(np.int64)
+        Cd = Xd[:, jnp.asarray(csel)]            # (Bp, cpad) coefficients
         qpad = _size_bucket(q.size + 1, 64)
         qsel = np.full(qpad, mp - 1, np.int64)
         qsel[:q.size] = q
         Xq = Xd[:B][:, jnp.asarray(qsel)]        # (B, qpad), pad cols zero
-        return Xq, q, p_out, (lr.astype(np.int64), lucols, lv)
+        return Xq, q, p_out, (Cd, piv_cols)
     Xd = Xd[:B][:, jnp.asarray(q)]
     return Xd, q, p_out
 
