@@ -199,7 +199,17 @@ def bench_pluq_gesv_kernel():
     K = kernel(fk)
     kernel_s = time.time() - t0
     assert K.n == Ak.m - fk.r and K.n >= 512
+    # complete PLUQ at scale: 16000^2 synthetic, device-resident
+    # factors (round-3's host path measured 320.8 s on this instance)
+    A16 = synthetic_sparse(16000, 16000, 8, 42013)
+    opts16 = EchelonizeOptions(L=True, complete=True)
+    f16 = echelonize(A16.copy(), opts16)      # compile pass
+    t0 = time.time()
+    f16 = echelonize(A16.copy(), opts16)
+    pluq16k_s = time.time() - t0
     return {"pluq_s": round(pluq_s, 3),
+            "pluq16k_warm_s": round(pluq16k_s, 2),
+            "pluq16k_rank": int(f16.r),
             "gesv_rhs": NRHS, "gesv_s": round(gesv_s, 3),
             "kernel_s": round(kernel_s, 3), "kernel_dim": int(K.n)}
 
