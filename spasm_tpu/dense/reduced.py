@@ -257,7 +257,14 @@ class ReducedBasis:
         pcr = np.full(self.npad, self.m, np.int64)
         pcr[:npiv] = pivcols
         self._pivcol_of_row = pcr
-        from ..parallel.context import shard_cols
+        from ..parallel.context import shard_cols, current_mesh
+        if npiv and self.small and current_mesh() is None:
+            from .subst_pallas import SUBST_MAX_PRIME, subst_available
+            if self.prime <= SUBST_MAX_PRIME and subst_available():
+                self.R = self._build_subst(offs, cols, vals,
+                                           np.asarray(pivcols, np.int64),
+                                           np.asarray(groups), pivmap)
+                return
         # SP axis (SURVEY §2.4): under an active mesh the reduced basis
         # shards its WIDTH over 'cols' — every per-row gather stays
         # local to a column shard, and the free-column budget scales
@@ -356,6 +363,42 @@ class ReducedBasis:
                 tb0 = _t.time()
             i = j
         self.R = R
+
+    def _build_subst(self, offs, cols, vals, pivcols, groups, pivmap_np):
+        """Phase A via the Mosaic substitution-sweep kernel
+        (dense/subst_pallas.py): scatter-initialize R with every row's
+        free entries, then stream the reference eliminations row-by-row
+        in topological order — no per-level scan steps, no tail
+        doubling.  d == 2 tier, single-device only."""
+        from .subst_pallas import plan_schedule, run_schedule
+        npiv = self.npiv
+        npad = self.npad
+        lens = np.diff(offs).astype(np.int64)
+        order = np.argsort(-groups, kind="stable")
+        src = _flat_gather(offs[order].astype(np.int64), lens[order])
+        rr = np.repeat(np.arange(npiv), lens[order])   # ordered row idx
+        cc = np.asarray(cols)[src].astype(np.int64)
+        vv = np.asarray(vals)[src].astype(np.int32)
+        own = cc == pivcols[order][rr]
+        refg = pivmap_np[cc].astype(np.int64)          # R row / npad-1
+        is_ref = (refg != npad - 1) & ~own
+        is_free = ~is_ref & ~own
+        # CSR rows have unique columns, so the init is a plain .set
+        R = jnp.zeros((npad, self.M), self.dtype)
+        if np.any(is_free):
+            fr = order[rr[is_free]]
+            fc = self._colmap_np[cc[is_free]].astype(np.int64)
+            R = _scatter_set(R, jnp.asarray(fr), jnp.asarray(fc),
+                             jnp.asarray(vv[is_free].astype(R.dtype)))
+        ref_cnt = np.bincount(rr[is_ref], minlength=npiv)
+        ref_ptr = np.zeros(npiv + 1, np.int64)
+        np.cumsum(ref_cnt, out=ref_ptr[1:])
+        plan = plan_schedule(order, refg[is_ref], ref_ptr, vv[is_ref],
+                             npad)
+        if plan is not None:
+            rowid, refs, coef, KR = plan
+            R = run_schedule(R, rowid, refs, coef, KR, self.prime)
+        return R
 
     # tail-doubling budgets: max rows, max chunk tier, fill/round caps
     _TAIL_CAP = 65536
@@ -627,6 +670,11 @@ def _tail_combine_chunk(Xold, r0, refs, vals, p, weights, Bc: int,
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _tail_scatter_into_R(R, tids, X):
     return R.at[tids].set(X.astype(R.dtype))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_set(R, rows, cols, vals):
+    return R.at[rows, cols].set(vals)
 
 
 def _k_bucket(k: int) -> int:

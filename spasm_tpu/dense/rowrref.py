@@ -83,8 +83,10 @@ def _row_sweep_kernel(p_ref, P_ref, P_out, piv_out, *, nb: int):
         v = jnp.sum(jnp.where(at_j, u, jnp.int32(0)), axis=1,
                     keepdims=True, dtype=jnp.int32)      # (1, 1)
         v = jnp.where(hasb, v, jnp.int32(1))
-        # pivot column extraction from the tile containing j
-        jt = (j[0, 0] // TW) * TW
+        # pivot column extraction from the tile containing j (TW is a
+        # power of two; a traced // would lower through an int64-using
+        # helper that Mosaic cannot compile under jax_enable_x64)
+        jt = pl.multiple_of(j[0, 0] & jnp.int32(~(TW - 1)), TW)
         tile_j = P_out[:, pl.ds(jt, TW)].astype(jnp.int32)
         at_j_t = lane_tw == (j[0, 0] - jt)
         g = jnp.sum(jnp.where(at_j_t, tile_j, jnp.int32(0)), axis=1,
@@ -93,9 +95,12 @@ def _row_sweep_kernel(p_ref, P_ref, P_out, piv_out, *, nb: int):
                       jnp.int32(0))
 
         def tstep(t, _):
-            c0 = t * TW
+            c0 = pl.multiple_of(t * TW, TW)
             tl = P_out[:, pl.ds(c0, TW)].astype(jnp.int32)
-            ut = jax.lax.dynamic_slice(u, (0, c0), (1, TW))
+            # row k's tile re-read from the ref (read-before-write in
+            # this step, so it still holds the pre-update value); a
+            # value-level dynamic_slice of `u` is not lowerable
+            ut = P_out[pl.ds(k, 1), pl.ds(c0, TW)].astype(jnp.int32)
             P_out[:, pl.ds(c0, TW)] = red31(
                 v * tl - g * ut, p, invp).astype(P_out.dtype)
             return jnp.int32(0)
@@ -180,15 +185,11 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
     def panel(t, carry):
         X, pivcol = carry
         q0 = t * nb
+        # No elimination against prior pivots is needed here: the
+        # end-of-panel back-reduction (delta2 below) updates EVERY row
+        # outside the panel — including future panels — so by induction
+        # this panel already has exact zeros on all prior pivot columns.
         P = jax.lax.dynamic_slice(X, (q0, 0), (nb, M))
-        # eliminate the panel against all prior pivots in one matmul
-        # (priors are RREF + unit-pivot, so current values ARE the
-        # coefficients); pivot-less rows gather the dead last column
-        pcs = jnp.where(pivcol >= 0, pivcol, M - 1)
-        C = P[:, pcs]                                     # (nb, B)
-        C = jnp.where(((iota_B < q0) & (pivcol >= 0))[None, :], C, 0)
-        delta = matmul_digits(C.astype(jnp.int32), X, p, weights, d)
-        P = _submod(P, delta, p, small).astype(X.dtype)
 
         if use_pallas:
             # sub-panels of 64 rows sweep inside ONE Mosaic program each

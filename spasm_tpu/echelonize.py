@@ -906,9 +906,12 @@ class _Engine:
         def tick(name, value=None):
             if not prof:
                 return
-            import jax
             if value is not None:
-                jax.block_until_ready(value)
+                # force a real device sync: block_until_ready is a no-op
+                # through tunneled deployments — only a D2H transfer
+                # actually drains the queue
+                v = value[0] if isinstance(value, tuple) else value
+                np.asarray(v[tuple(slice(0, 1) for _ in v.shape)])
             now = time.time()
             tprof[name] = tprof.get(name, 0.0) + now - tick.last
             tick.last = now
@@ -993,6 +996,7 @@ class _Engine:
             Xq = basis.apply(Xq)
             tick("apply", Xq)
             Xq, pivd = rref_rows_device(Xq, prime, nb=128, sync=False)
+            tick("rref_dispatch")
             # overlap the next block's host prep + forming with the
             # in-flight RREF: its gathers only touch R (not the basis),
             # so a block formed now is still valid next round
@@ -1003,6 +1007,7 @@ class _Engine:
                 N2 = min(B, n - processed)
                 prefetched = (N2, make_block(N2, processed))
                 processed += N2
+            tick("prefetch_host")
             pivcol = np.asarray(pivd)
             tick("rref", Xq)
             hit = np.nonzero(pivcol >= 0)[0]
