@@ -52,7 +52,8 @@ from .elim import _mulsub, _submod, _scale_rows
 _SWEEP_TW = 2048      # column tile of the in-kernel panel update
 
 
-def _row_sweep_kernel(p_ref, P_ref, P_out, piv_out, *, nb: int):
+def _row_sweep_kernel(p_ref, P_ref, P_out, piv_out, *, nb: int,
+                      r1: bool = False):
     """Column-tiled so per-step temporaries stay ~nb x TW: the full-panel
     formulation's (v*P - g*u) temps tripled scoped VMEM and OOMed at
     (128, 22016) int32."""
@@ -73,39 +74,39 @@ def _row_sweep_kernel(p_ref, P_ref, P_out, piv_out, *, nb: int):
     def step(k, _):
         u = P_out[pl.ds(k, 1), :].astype(jnp.int32)      # (1, M) value
         nz = u != 0
-        has = jnp.max(jnp.where(nz, jnp.int32(1), jnp.int32(0)),
-                      axis=1, keepdims=True)             # (1, 1)
-        hasb = has == 1
+        # one lane-min finds the leftmost nonzero; j == M means none
+        # (cross-lane reductions dominate the step cost — keep them few)
         j = jnp.min(jnp.where(nz, lane_m, jnp.int32(M)),
                     axis=1, keepdims=True)               # (1, 1)
+        hasb = j < jnp.int32(M)
         j = jnp.where(hasb, j, jnp.int32(0))
-        at_j = lane_m == j                               # (1, M)
-        v = jnp.sum(jnp.where(at_j, u, jnp.int32(0)), axis=1,
-                    keepdims=True, dtype=jnp.int32)      # (1, 1)
-        v = jnp.where(hasb, v, jnp.int32(1))
         # pivot column extraction from the tile containing j (TW is a
         # power of two; a traced // would lower through an int64-using
-        # helper that Mosaic cannot compile under jax_enable_x64)
+        # helper that Mosaic cannot compile under jax_enable_x64).
+        # graw[i] = P[i, j]; v = u[j] comes out of the same extraction
+        # via a cheap sublane reduction instead of a second lane sweep.
         jt = pl.multiple_of(j[0, 0] & jnp.int32(~(TW - 1)), TW)
         tile_j = P_out[:, pl.ds(jt, TW)].astype(jnp.int32)
         at_j_t = lane_tw == (j[0, 0] - jt)
-        g = jnp.sum(jnp.where(at_j_t, tile_j, jnp.int32(0)), axis=1,
-                    keepdims=True, dtype=jnp.int32)      # (nb, 1)
-        g = jnp.where(jnp.logical_and(sub_nb != k, hasb), g,
+        graw = jnp.sum(jnp.where(at_j_t, tile_j, jnp.int32(0)), axis=1,
+                       keepdims=True, dtype=jnp.int32)   # (nb, 1)
+        v = jnp.sum(jnp.where(sub_nb == k, graw, jnp.int32(0)), axis=0,
+                    keepdims=True, dtype=jnp.int32)      # (1, 1)
+        v = jnp.where(hasb, v, jnp.int32(1))
+        g = jnp.where(jnp.logical_and(sub_nb != k, hasb), graw,
                       jnp.int32(0))
 
-        def tstep(t, _):
-            c0 = pl.multiple_of(t * TW, TW)
+        rounds = 1 if r1 else 2
+        for t in range(T):                   # static unroll: no loop
+            c0 = t * TW                      # bookkeeping per tile
             tl = P_out[:, pl.ds(c0, TW)].astype(jnp.int32)
             # row k's tile re-read from the ref (read-before-write in
             # this step, so it still holds the pre-update value); a
             # value-level dynamic_slice of `u` is not lowerable
             ut = P_out[pl.ds(k, 1), pl.ds(c0, TW)].astype(jnp.int32)
             P_out[:, pl.ds(c0, TW)] = red31(
-                v * tl - g * ut, p, invp).astype(P_out.dtype)
-            return jnp.int32(0)
+                v * tl - g * ut, p, invp, rounds).astype(P_out.dtype)
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), tstep, jnp.int32(0))
         sel = slot_iota == k
         pj = jnp.where(hasb, j, jnp.int32(-1))
         piv_out[:, :] = jnp.where(sel, pj, piv_out[:, :])
@@ -122,14 +123,14 @@ except Exception:                        # pragma: no cover
     _HAVE_PL = False
 
 
-def _row_sweep_pallas(P, p32, nb: int):
+def _row_sweep_pallas(P, p32, nb: int, r1: bool = False):
     """P (nb, M) int32 -> (P', pivcol (1, nb) int32).
 
     The panel is aliased in/out (one VMEM buffer — (128, 22016) int32
     is 11.3 MB, two copies would exceed VMEM).  int16 VMEM I/O is
     rejected by this Mosaic build, so callers cast to int32 first.
     """
-    kernel = functools.partial(_row_sweep_kernel, nb=nb)
+    kernel = functools.partial(_row_sweep_kernel, nb=nb, r1=r1)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(P.shape, jnp.int32),
@@ -163,10 +164,11 @@ def _sweep_pallas_available(dtype) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("d", "nb", "sweep_small",
-                                    "use_pallas"),
+                                    "use_pallas", "sweep_r1"),
                    donate_argnums=(0,))
 def _rref_rows(X, p, weights, d: int, nb: int = 64,
-               sweep_small: bool = False, use_pallas: bool = False):
+               sweep_small: bool = False, use_pallas: bool = False,
+               sweep_r1: bool = False):
     """Row-sweep RREF of X (B, M) int32 balanced, B % nb == 0, last
     column dead (all zero).  Returns (X', pivcol):
 
@@ -205,7 +207,8 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
             iota_sub = jnp.arange(SB)
             for s in range(nb // SB):
                 Ps = jax.lax.dynamic_slice(P, (s * SB, 0), (SB, M))
-                Ps, pr = _row_sweep_pallas(Ps.astype(jnp.int32), p32, SB)
+                Ps, pr = _row_sweep_pallas(Ps.astype(jnp.int32), p32, SB,
+                                           r1=sweep_r1)
                 pr = pr[0]
                 # normalize to unit pivots (canonical rows)
                 pvs = Ps[iota_sub, jnp.where(pr >= 0, pr, M - 1)]
@@ -285,8 +288,12 @@ def rref_rows_device(Xd, p: int, nb: int = 64, sync: bool = True):
             nb //= 2
         if nb < 64:
             pall = False
+    # one-round Barrett is exact inside the sweep for p >= 1024:
+    # |v*tl - g*ut| <= 2(p/2)^2 keeps the round-1 residue within the
+    # two-correction range (0.51p + 254 <= 1.5p)
     Xd, pivcol = _rref_rows(Xd, jnp.int64(p), jnp.asarray(F.weights),
-                            F.ndigits, nb, p <= (1 << 23), pall)
+                            F.ndigits, nb, p <= (1 << 23), pall,
+                            p >= 1024)
     return Xd, (np.asarray(pivcol) if sync else pivcol)
 
 
@@ -304,13 +311,26 @@ def _basis_apply(X, R, jpos, p, weights, d: int):
     return _submod(X, delta, p, small).astype(X.dtype)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(Rbuf, Rd, start):
+    return jax.lax.dynamic_update_slice(Rbuf, Rd.astype(Rbuf.dtype),
+                                        (start, jnp.int32(0)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_vec(jbuf, jd, start):
+    return jax.lax.dynamic_update_slice(jbuf, jd, (start,))
+
+
 class CompactBasis:
     """Growing device-resident RREF basis over a fixed compacted width M.
 
-    Used by the engine's device finisher: blocks eliminate against the
-    basis with one matmul per stored chunk; new reduced rows append
-    after back-reducing the existing chunks (so the basis stays RREF
-    and single-matmul elimination remains exact).
+    ONE padded (cap, M) buffer (pad rows zero, pivots parked at the
+    dead column M-1, inert in _basis_apply): a block eliminates against
+    the whole basis with a single gather + matmul, and each append
+    back-reduces the buffer against the new rows with one more — no
+    per-round chunk lists, whose per-chunk gathers and dispatches
+    dominated the multi-round finishers.
     """
 
     def __init__(self, M: int, p: int):
@@ -318,39 +338,58 @@ class CompactBasis:
         self.M = M
         self.p = p
         self.F = device_field(p)
-        self.chunks = []          # (Rd (K, M), jpos_dev (K,))
-        self.jpos_host = []       # host copy of each chunk's jpos
+        self.Rbuf = None          # (cap, M) device; rows >= count zero
+        self.jbuf = None          # (cap,) device int64; pads -> M-1
+        self.jpos_host = []       # host jpos of each appended chunk
+        self.count = 0
         self.nrows = 0
-
-    # Drain the device queue every few chunk applications: dispatch is
-    # fully async and each application allocates multi-hundred-MB
-    # temporaries (int64-emulated for d >= 3), so an unbounded queue of
-    # in-flight programs can exhaust HBM even though each one fits.
-    _DRAIN_EVERY = 4
 
     def apply(self, X):
         """Eliminate every basis pivot from X (B, M).  Consumes X."""
-        p64 = jnp.int64(self.p)
-        w = jnp.asarray(self.F.weights)
-        for i, (Rd, jd) in enumerate(self.chunks):
-            X = _basis_apply(X, Rd, jd, p64, w, self.F.ndigits)
-            if (i + 1) % self._DRAIN_EVERY == 0:
-                np.asarray(X[:1, :1])
-        return X
+        if self.count == 0:
+            return X
+        return _basis_apply(X, self.Rbuf, self.jbuf, jnp.int64(self.p),
+                            jnp.asarray(self.F.weights), self.F.ndigits)
 
     def add(self, Rd, jpos: np.ndarray):
         """Append reduced rows (pivots at compacted columns jpos), after
-        back-reducing the existing chunks against them."""
-        jd = jnp.asarray(np.asarray(jpos, np.int64))
+        back-reducing the existing basis against them."""
+        jpos = np.asarray(jpos, np.int64)
+        jd = jnp.asarray(jpos)
+        Kp = int(Rd.shape[0])
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        out = []
-        for i, (Ri, ji) in enumerate(self.chunks):
-            out.append((_basis_apply(Ri, Rd, jd, p64, w, self.F.ndigits),
-                        ji))
-            if (i + 1) % self._DRAIN_EVERY == 0:
-                np.asarray(out[-1][0][:1, :1])
-        self.chunks = out
-        self.chunks.append((Rd, jd))
-        self.jpos_host.append(np.asarray(jpos, np.int64))
-        self.nrows += int(np.asarray(jpos).size)
+        if self.count:
+            self.Rbuf = _basis_apply(self.Rbuf, Rd, jd, p64, w,
+                                     self.F.ndigits)
+        need = self.count + Kp
+        cap = 0 if self.Rbuf is None else int(self.Rbuf.shape[0])
+        if need > cap:
+            # exact-fit growth (1024-quantized): the concat copy is
+            # trivial next to the padded matmul work a doubling
+            # overshoot would add to every apply
+            newcap = -(-need // 1024) * 1024
+            if self.Rbuf is None:
+                self.Rbuf = jnp.zeros((newcap, self.M), Rd.dtype)
+                self.jbuf = jnp.full((newcap,), self.M - 1, jnp.int64)
+            else:
+                self.Rbuf = jnp.concatenate(
+                    [self.Rbuf, jnp.zeros((newcap - cap, self.M),
+                                          self.Rbuf.dtype)])
+                self.jbuf = jnp.concatenate(
+                    [self.jbuf, jnp.full((newcap - cap,), self.M - 1,
+                                         jnp.int64)])
+        st = jnp.int32(self.count)
+        self.Rbuf = _write_rows(self.Rbuf, Rd, st)
+        self.jbuf = _write_vec(self.jbuf, jd, st)
+        self.count = need
+        self.jpos_host.append(jpos)
+        self.nrows += int(jpos.size)
+
+    def export(self):
+        """(rows, jpos) of the whole basis: rows (count, M) device view,
+        jpos (count,) host (concatenated append order)."""
+        if self.count == 0:
+            return None, np.empty(0, np.int64)
+        return (self.Rbuf[:self.count],
+                np.concatenate(self.jpos_host))

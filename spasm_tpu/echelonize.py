@@ -1053,15 +1053,14 @@ class _Engine:
                          "weight %d -> %d", w, 2 * w)
                 w = min(2 * w, max(n, 1))
         # register the basis (final back-reduced versions) into U; the
-        # engine's eliminator gets the chunks too so later engine stages
-        # (host finishers, schur) see the full pivot set.  jpos comes
-        # from the host-side copies — no device sync on this path.
-        for (Rd, jd), jpos in zip(basis.chunks, basis.jpos_host):
-            real = jpos < M - 1
-            if not np.any(real):
-                continue
-            jr = jpos[real]
-            Rr = Rd[jnp.asarray(np.nonzero(real)[0])]
+        # engine's eliminator gets it too so later engine stages (host
+        # finishers, schur) see the full pivot set.  jpos comes from the
+        # host-side copies — no device sync on this path.
+        Rall, jall = basis.export()
+        real = jall < M - 1
+        if np.any(real):
+            jr = jall[real]
+            Rr = Rall[jnp.asarray(np.nonzero(real)[0])]
             # elim registration defers to first use: the gathers, pads
             # and metadata uploads cost real wall-clock and nothing on
             # the rank path ever eliminates after the finisher
