@@ -50,7 +50,12 @@ def _enable_compile_cache():
     try:
         _os.makedirs(cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: through a remote-compile service even trivial
+        # one-op programs cost 0.3-0.7 s to compile, and a cold
+        # echelonize dispatches ~90 of them (measured 28 s of compile
+        # wall on mk13.b5 with the 1.0 s threshold)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.0)
     except Exception:                                # pragma: no cover
         pass
 

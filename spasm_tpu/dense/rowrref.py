@@ -311,6 +311,35 @@ def _basis_apply(X, R, jpos, p, weights, d: int):
     return _submod(X, delta, p, small).astype(X.dtype)
 
 
+_CHUNK = 4096        # fixed basis-chunk height: ONE compiled program per
+                     # role regardless of round count or basis size
+
+
+@functools.partial(jax.jit, static_argnames=("d",), donate_argnums=(0,))
+def _basis_apply_at(X, Rbuf, jbuf, start, p, weights, d: int):
+    """Eliminate one _CHUNK-row slice of the basis buffer from X.
+    start is traced, so every chunk of every round shares one compile."""
+    M = Rbuf.shape[1]
+    Rd = jax.lax.dynamic_slice(Rbuf, (start, jnp.int32(0)), (_CHUNK, M))
+    jd = jax.lax.dynamic_slice(jbuf, (start,), (_CHUNK,))
+    C = X[:, jd]
+    delta = matmul_digits(C.astype(jnp.int32), Rd, p, weights, d)
+    return _submod(X, delta, p, d == 2).astype(X.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("d",), donate_argnums=(0,))
+def _backreduce_at(Rbuf, Rd, jd, start, p, weights, d: int):
+    """Back-reduce one _CHUNK-row slice of the buffer against new rows
+    Rd (Kp, M) with pivots jd; Kp is shape-bucketed by the caller."""
+    M = Rbuf.shape[1]
+    Xc = jax.lax.dynamic_slice(Rbuf, (start, jnp.int32(0)), (_CHUNK, M))
+    C = Xc[:, jd]
+    delta = matmul_digits(C.astype(jnp.int32), Rd, p, weights, d)
+    Xc = _submod(Xc, delta, p, d == 2)
+    return jax.lax.dynamic_update_slice(Rbuf, Xc.astype(Rbuf.dtype),
+                                        (start, jnp.int32(0)))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_rows(Rbuf, Rd, start):
     return jax.lax.dynamic_update_slice(Rbuf, Rd.astype(Rbuf.dtype),
@@ -322,34 +351,44 @@ def _write_vec(jbuf, jd, start):
     return jax.lax.dynamic_update_slice(jbuf, jd, (start,))
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "M", "dt"))
+def _alloc_basis(cap: int, M: int, dt):
+    return (jnp.zeros((cap, M), dt),
+            jnp.full((cap,), M - 1, jnp.int64))
+
+
 class CompactBasis:
     """Growing device-resident RREF basis over a fixed compacted width M.
 
-    ONE padded (cap, M) buffer (pad rows zero, pivots parked at the
-    dead column M-1, inert in _basis_apply): a block eliminates against
-    the whole basis with a single gather + matmul, and each append
-    back-reduces the buffer against the new rows with one more — no
-    per-round chunk lists, whose per-chunk gathers and dispatches
-    dominated the multi-round finishers.
+    ONE preallocated (cap, M) buffer (pad rows zero, pivots parked at
+    the dead column M-1, algebraically inert): blocks eliminate against
+    the basis chunk-by-chunk with a FIXED-SHAPE program (_CHUNK rows,
+    traced offset), so the whole finisher compiles one apply and one
+    back-reduce variant regardless of round count — the per-round
+    shape-specialized programs of the growing-buffer design dominated
+    cold start through the remote-compile latency.
     """
 
-    def __init__(self, M: int, p: int):
+    def __init__(self, M: int, p: int, cap: int, dtype=jnp.int16):
         from .modp import device_field
         self.M = M
         self.p = p
         self.F = device_field(p)
-        self.Rbuf = None          # (cap, M) device; rows >= count zero
-        self.jbuf = None          # (cap,) device int64; pads -> M-1
+        self.cap = -(-max(cap, 1) // _CHUNK) * _CHUNK
+        self.Rbuf, self.jbuf = _alloc_basis(self.cap, M, dtype)
         self.jpos_host = []       # host jpos of each appended chunk
         self.count = 0
         self.nrows = 0
 
     def apply(self, X):
         """Eliminate every basis pivot from X (B, M).  Consumes X."""
-        if self.count == 0:
-            return X
-        return _basis_apply(X, self.Rbuf, self.jbuf, jnp.int64(self.p),
-                            jnp.asarray(self.F.weights), self.F.ndigits)
+        p64 = jnp.int64(self.p)
+        w = jnp.asarray(self.F.weights)
+        for c in range(-(-self.count // _CHUNK)):
+            X = _basis_apply_at(X, self.Rbuf, self.jbuf,
+                                jnp.int32(c * _CHUNK), p64, w,
+                                self.F.ndigits)
+        return X
 
     def add(self, Rd, jpos: np.ndarray):
         """Append reduced rows (pivots at compacted columns jpos), after
@@ -359,26 +398,18 @@ class CompactBasis:
         Kp = int(Rd.shape[0])
         p64 = jnp.int64(self.p)
         w = jnp.asarray(self.F.weights)
-        if self.count:
-            self.Rbuf = _basis_apply(self.Rbuf, Rd, jd, p64, w,
-                                     self.F.ndigits)
+        for c in range(-(-self.count // _CHUNK)):
+            self.Rbuf = _backreduce_at(self.Rbuf, Rd, jd,
+                                       jnp.int32(c * _CHUNK), p64, w,
+                                       self.F.ndigits)
         need = self.count + Kp
-        cap = 0 if self.Rbuf is None else int(self.Rbuf.shape[0])
-        if need > cap:
-            # exact-fit growth (1024-quantized): the concat copy is
-            # trivial next to the padded matmul work a doubling
-            # overshoot would add to every apply
-            newcap = -(-need // 1024) * 1024
-            if self.Rbuf is None:
-                self.Rbuf = jnp.zeros((newcap, self.M), Rd.dtype)
-                self.jbuf = jnp.full((newcap,), self.M - 1, jnp.int64)
-            else:
-                self.Rbuf = jnp.concatenate(
-                    [self.Rbuf, jnp.zeros((newcap - cap, self.M),
-                                          self.Rbuf.dtype)])
-                self.jbuf = jnp.concatenate(
-                    [self.jbuf, jnp.full((newcap - cap,), self.M - 1,
-                                         jnp.int64)])
+        if need > self.cap:                     # rare: bucket-padding
+            grow = -(-(need - self.cap) // _CHUNK) * _CHUNK
+            self.Rbuf = jnp.concatenate(
+                [self.Rbuf, jnp.zeros((grow, self.M), self.Rbuf.dtype)])
+            self.jbuf = jnp.concatenate(
+                [self.jbuf, jnp.full((grow,), self.M - 1, jnp.int64)])
+            self.cap += grow
         st = jnp.int32(self.count)
         self.Rbuf = _write_rows(self.Rbuf, Rd, st)
         self.jbuf = _write_vec(self.jbuf, jd, st)

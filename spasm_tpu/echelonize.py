@@ -955,7 +955,7 @@ class _Engine:
         # randomness discipline): Philox keyed by the SHA-256 fingerprint
         rng = np.random.Generator(np.random.Philox(
             key=int.from_bytes(self.fingerprint[:16], "big")))
-        basis = CompactBasis(M, prime)
+        basis = CompactBasis(M, prime, rank_ub + 4096)
         dcsr = None
         cand_mask_d = None
         processed = 0
