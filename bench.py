@@ -105,16 +105,34 @@ def bench_gl7d_workflow():
         sw = subprocess.run(
             [sys.executable, "-m", "spasm_tpu.cli.vertical_swap"],
             stdin=open(path), capture_output=True, text=True, check=True)
+        t_swap = time.time() - t0
+        t1 = time.time()
         rk = subprocess.run(
             [sys.executable, "-m", "spasm_tpu.cli.rank", "--modulus",
              "42013", "--dense-threshold", "0.01"],
             input=sw.stdout, capture_output=True, text=True, check=True)
+        t_rank = time.time() - t1
         wall = time.time() - t0
         rank = int(rk.stdout.strip().split()[-1])
+        # phase decomposition (VERDICT r4 task 2): in-process parse and
+        # engine wall, isolating the two subprocesses' startup+compile
+        from spasm_tpu import echelonize, EchelonizeOptions
+        import io as _iom
+        t2 = time.time()
+        Av, _ = sio.load_csr(_iom.StringIO(sw.stdout), 42013)
+        t_parse = time.time() - t2
+        t2 = time.time()
+        r2 = echelonize(Av, EchelonizeOptions(sparsity_threshold=0.01)).r
+        t_engine = time.time() - t2
+        assert r2 == rank
     finally:
         os.unlink(path)
     return {"n": A.n, "m": A.m, "nnz": int(A.nnz), "rank": rank,
-            "pipeline_s": round(wall, 2)}
+            "pipeline_s": round(wall, 2),
+            "phases": {"swap_proc_s": round(t_swap, 2),
+                       "rank_proc_s": round(t_rank, 2),
+                       "parse_s": round(t_parse, 2),
+                       "engine_s": round(t_engine, 2)}}
 
 
 def bench_synthetic(n, w=8, p=42013):

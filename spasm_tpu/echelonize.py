@@ -1052,6 +1052,26 @@ class _Engine:
                 log.info("[finish/device] completion test failed; "
                          "weight %d -> %d", w, 2 * w)
                 w = min(2 * w, max(n, 1))
+            elif not lowrank and rr == 0 and rank_ub > 0:
+                # rows-mode early abort (the GPLU analog,
+                # spasm_echelonize.c:84-95): a zero-yield block with
+                # many rows left triggers the probabilistic completion
+                # test over the UNCONSUMED rows (including a prefetched
+                # block, whose rows are not in the basis yet)
+                rem0 = processed - (prefetched[0] if prefetched else 0)
+                if n - rem0 > B:
+                    if dcsr is None:
+                        from .device_csr import DeviceCSR
+                        dcsr = DeviceCSR(S)
+                    mask = np.zeros(S.n, bool)
+                    mask[p[rem0:n]] = True
+                    done = self._completion_device(
+                        dcsr, jnp.asarray(mask), rb, basis, rounds)
+                    tick("completion")
+                    if done:
+                        log.info("[finish/device] early abort: remaining "
+                                 "%d rows lie in the span", n - rem0)
+                        break
         # register the basis (final back-reduced versions) into U; the
         # engine's eliminator gets it too so later engine stages (host
         # finishers, schur) see the full pivot set.  jpos comes from the

@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import io as _io
 import sys
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -23,71 +24,163 @@ import numpy as np
 from .csr import COO, CSR
 
 
+_IO_CHUNK = 1 << 25          # 32 MB read granularity
+
+
+def _fast_ints(text: str) -> np.ndarray:
+    """Whitespace-separated integers via the C parser (~10x loadtxt)."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        return np.fromstring(text, dtype=np.int64, sep=" ")
+
+
 def _parse_int_table(text: str) -> np.ndarray:
     """Whitespace-separated integers -> (k, 3) int64 array."""
-    if not text.strip():
-        return np.empty((0, 3), np.int64)
-    arr = np.loadtxt(_io.StringIO(text), dtype=np.int64, ndmin=2)
-    if arr.shape[1] != 3:
+    flat = _fast_ints(text) if text.strip() else np.empty(0, np.int64)
+    if flat.size % 3:
         raise ValueError("malformed entry line (expected 3 fields)")
-    return arr
+    return flat.reshape(-1, 3)
+
+
+class _IntStream:
+    """Chunked whitespace-separated integer reader with SHA-256 feed.
+
+    Bounded memory: each chunk is parsed with the C fast path
+    (np.fromstring, ~10x np.loadtxt) and handed to the caller; the file
+    is never held whole (the reference streams with fgets,
+    spasm_io.c:59-159).
+    """
+
+    def __init__(self, stream, hasher):
+        self.stream = stream
+        self.hasher = hasher
+        self._carry = b""
+        self.eof = False
+
+    def _read(self) -> bytes:
+        buf = self.stream.read(_IO_CHUNK)
+        if isinstance(buf, str):
+            buf = buf.encode()
+        if not buf:
+            self.eof = True
+        elif self.hasher is not None:
+            self.hasher.update(buf)
+        return buf
+
+    def readline(self) -> str:
+        while b"\n" not in self._carry and not self.eof:
+            self._carry += self._read()
+        nl = self._carry.find(b"\n")
+        if nl < 0:
+            line, self._carry = self._carry, b""
+        else:
+            line, self._carry = self._carry[:nl], self._carry[nl + 1:]
+        return line.decode("ascii", errors="replace")
+
+    def next_ints(self) -> Optional[np.ndarray]:
+        """Next flat batch of integers (None at EOF)."""
+        while True:
+            buf = self._read()
+            if not buf:
+                data, self._carry = self._carry, b""
+                if not data.strip():
+                    return None
+            else:
+                data = self._carry + buf
+                # cut at the last whitespace so no token is split
+                cut = max(data.rfind(b"\n"), data.rfind(b" "),
+                          data.rfind(b"\t"), data.rfind(b"\r"))
+                if cut < 0:
+                    self._carry = data
+                    continue
+                data, self._carry = data[:cut], data[cut:]
+            if data.strip():
+                return _fast_ints(data.decode("ascii", errors="replace"))
+
+    def drain(self):
+        """Consume the rest of the stream (fingerprint = whole file)."""
+        if self.hasher is not None:
+            while not self.eof:
+                self._read()
 
 
 def load_triplet(f, prime: int = 42013,
                  want_hash: bool = False) -> Tuple[COO, Optional[bytes]]:
-    """Load an SMS or MatrixMarket matrix.
+    """Load an SMS or MatrixMarket matrix (streaming, bounded memory).
 
     `f` is a binary or text stream, or a filename.  prime == -1 loads the
     pattern only (no values).  Returns (COO, sha256 | None).
     """
+    close = False
     if isinstance(f, (str, bytes)) or hasattr(f, "__fspath__"):
-        with open(f, "rb") as fh:
-            data = fh.read()
-    else:
-        data = f.read()
-        if isinstance(data, str):
-            data = data.encode()
+        f = open(f, "rb")
+        close = True
+    try:
+        hasher = hashlib.sha256() if want_hash else None
+        st = _IntStream(f, hasher)
+        header = st.readline()
 
-    digest = hashlib.sha256(data).digest() if want_hash else None
-    text = data.decode("ascii", errors="replace")
-    # split off the first line
-    nl = text.find("\n")
-    header = text[:nl if nl >= 0 else len(text)]
-    body = text[nl + 1:] if nl >= 0 else ""
+        batches = []
+        got = 0
+        if header.startswith("%%MatrixMarket"):
+            fields = header.split()
+            if len(fields) < 5:
+                raise ValueError("incomplete MatrixMarket header")
+            mtx, crd, dtyp, scheme = [s.lower() for s in fields[1:5]]
+            if (mtx, crd, dtyp, scheme) != ("matrix", "coordinate",
+                                            "integer", "general"):
+                raise ValueError(
+                    f"unsupported MatrixMarket flavor {fields[1:5]}")
+            line = st.readline()
+            while line.startswith("%"):
+                line = st.readline()
+            if not line.split():
+                raise ValueError("premature EOF (expected matrix "
+                                 "dimensions)")
+            n, m, nnz = (int(t) for t in line.split()[:3])
+            leftover = np.empty(0, np.int64)
+            while got < 3 * nnz:
+                flat = st.next_ints()
+                if flat is None:
+                    raise ValueError("premature end of MatrixMarket file")
+                flat = np.concatenate((leftover, flat)) \
+                    if leftover.size else flat
+                take = min(flat.size - flat.size % 3, 3 * nnz - got)
+                batches.append(flat[:take].reshape(-1, 3))
+                leftover = flat[take:]
+                got += take
+        else:
+            fields = header.split()
+            if len(fields) != 3:
+                raise ValueError("bad SMS header")
+            n, m = int(fields[0]), int(fields[1])
+            if prime != -1 and fields[2] != "M":
+                raise ValueError("only ``Modular'' SMS type supported")
+            leftover = np.empty(0, np.int64)
+            done = False
+            while not done:
+                flat = st.next_ints()
+                if flat is None:
+                    raise ValueError(
+                        "premature end of SMS file (no end marker)")
+                flat = np.concatenate((leftover, flat)) \
+                    if leftover.size else flat
+                k3 = flat.size - flat.size % 3
+                tab = flat[:k3].reshape(-1, 3)
+                leftover = flat[k3:]
+                markers = np.nonzero(~tab.any(axis=1))[0]
+                if markers.size:
+                    tab = tab[:markers[0]]
+                    done = True
+                batches.append(tab)
+        st.drain()
+        digest = hasher.digest() if hasher is not None else None
+    finally:
+        if close:
+            f.close()
 
-    if header.startswith("%%MatrixMarket"):
-        fields = header.split()
-        if len(fields) < 5:
-            raise ValueError("incomplete MatrixMarket header")
-        mtx, crd, dtyp, scheme = [s.lower() for s in fields[1:5]]
-        if (mtx, crd, dtyp, scheme) != ("matrix", "coordinate", "integer",
-                                        "general"):
-            raise ValueError(f"unsupported MatrixMarket flavor {fields[1:5]}")
-        lines = body.split("\n")
-        k = 0
-        while k < len(lines) and lines[k].startswith("%"):
-            k += 1
-        if k >= len(lines):
-            raise ValueError("premature EOF (expected matrix dimensions)")
-        n, m, nnz = (int(t) for t in lines[k].split()[:3])
-        table = _parse_int_table("\n".join(lines[k + 1:]))
-        if table.shape[0] < nnz:
-            raise ValueError("premature end of MatrixMarket file")
-        table = table[:nnz]
-    else:
-        fields = header.split()
-        if len(fields) != 3:
-            raise ValueError("bad SMS header")
-        n, m = int(fields[0]), int(fields[1])
-        if prime != -1 and fields[2] != "M":
-            raise ValueError("only ``Modular'' SMS type supported")
-        table = _parse_int_table(body)
-        # find the 0 0 0 end marker
-        markers = np.nonzero(~table.any(axis=1))[0]
-        if markers.size == 0:
-            raise ValueError("premature end of SMS file (no end marker)")
-        table = table[:markers[0]]
-
+    table = batches[0] if len(batches) == 1 else \
+        (np.vstack(batches) if batches else np.empty((0, 3), np.int64))
     T = COO.from_entries(n, m, prime, table[:, 0] - 1, table[:, 1] - 1,
                          table[:, 2] if prime != -1 else None)
     T.n = max(T.n, n)
