@@ -846,21 +846,20 @@ class _Engine:
 
     # -- device-resident finisher (TPU-first redesign) ---------------------
 
-    def _completion_device(self, dcsr, cand_mask_d, rb, basis,
-                           seed: int) -> bool:
+    def _completion_device(self, dcsr, cand_rows: np.ndarray,
+                           vals: np.ndarray, rb, basis) -> bool:
         """Probabilistic completion test, fully on device: random full
         combinations of the candidate rows, eliminated against the whole
         basis; complete iff every residue is zero.  One scalar crosses
         device->host.  (spasm_echelonize.c:30-51 with the combination
-        formed by a device SpMV instead of a host scatter loop.)"""
-        import jax
+        formed by a device SpMV instead of a host scatter loop.)
+        vals: (Sn, len(cand_rows)) balanced coefficients drawn from the
+        reference PRNG (SURVEY §4 randomness discipline)."""
         import jax.numpy as jnp
-        Sn = int(np.ceil(128 / np.log2(self.prime)))
-        key = jax.random.PRNGKey(seed)
-        XT = jax.random.randint(key, (Sn, dcsr.n), 0, self.prime,
-                                dtype=jnp.int32)
-        XT = jnp.where(cand_mask_d[None, :], XT, 0)
-        Y = dcsr.spmv(XT)                       # (Sn, mp), dead col zero
+        Sn = vals.shape[0]
+        XT = np.zeros((Sn, dcsr.n), np.int32)
+        XT[:, cand_rows] = vals
+        Y = dcsr.spmv(jnp.asarray(XT))          # (Sn, mp), dead col zero
         Yq = rb.eliminate_full_width(Y)         # (Sn, M) compact residue
         Yq = basis.apply(Yq)
         return not bool(np.asarray(jnp.any(Yq != 0)))
@@ -951,13 +950,31 @@ class _Engine:
             max(opts.low_rank_start_weight, 1)
         if opts.low_rank_start_weight < 0:
             w = min(w, 8)
-        # deterministic draws bound to the input matrix (SURVEY §4
-        # randomness discipline): Philox keyed by the SHA-256 fingerprint
-        rng = np.random.Generator(np.random.Philox(
-            key=int.from_bytes(self.fingerprint[:16], "big")))
+        # deterministic draws bound to the input matrix through the
+        # reference PRNG (SURVEY §4 randomness discipline): SHA-256
+        # counter mode seeded by the matrix fingerprint; seq 0 feeds the
+        # combination draws, seq 1 the completion-test coefficients
+        from .hashing import PRNG
+        gen = PRNG(prime, self.fingerprint)
+        Sn_test = int(np.ceil(128 / np.log2(prime)))
+        comp_pool: dict = {}
+
+        def _pregen():                       # overlaps device work
+            g2 = PRNG(prime, self.fingerprint, seq=1)
+            comp_pool["vals"] = g2.zzp_array(Sn_test * n).reshape(
+                Sn_test, n)
+
+        import threading
+        comp_thread = threading.Thread(target=_pregen, daemon=True)
+        comp_thread.start()
+
+        def comp_vals(pos: np.ndarray) -> np.ndarray:
+            """(Sn, len(pos)) coefficients for candidates p[pos]."""
+            comp_thread.join()
+            return comp_pool["vals"][:, pos]
+
         basis = CompactBasis(M, prime, rank_ub + 4096)
         dcsr = None
-        cand_mask_d = None
         processed = 0
         rounds = 0
         log.info("[finish/device] %s mode: %d rows x %d free cols, "
@@ -966,9 +983,10 @@ class _Engine:
         def make_block(nrows, rows_from):
             """Host prep + device dispatch of one eliminated block."""
             if lowrank:
-                sel = p[rng.integers(0, n, size=(nrows, w))]
-                coeffs = rng.integers(1, prime, size=(nrows, w))
-                coeffs = self.field.narray(coeffs).astype(np.int32)
+                sel = p[gen.uniform_array(nrows * w, n)
+                        .reshape(nrows, w)]
+                coeffs = gen.zzp_array(nrows * w).reshape(
+                    nrows, w).astype(np.int32)
                 coeffs[:, 0] = 1
                 eidx, coeff = rb.flat_rows(S.indptr, sel, coeffs)
             else:
@@ -1041,11 +1059,8 @@ class _Engine:
                 if dcsr is None:
                     from .device_csr import DeviceCSR
                     dcsr = DeviceCSR(S)
-                    mask = np.zeros(S.n, bool)
-                    mask[p[:n]] = True
-                    cand_mask_d = jnp.asarray(mask)
-                done = self._completion_device(dcsr, cand_mask_d, rb,
-                                               basis, rounds)
+                done = self._completion_device(
+                    dcsr, p[:n], comp_vals(np.arange(n)), rb, basis)
                 tick("completion")
                 if done:
                     break
@@ -1063,10 +1078,9 @@ class _Engine:
                     if dcsr is None:
                         from .device_csr import DeviceCSR
                         dcsr = DeviceCSR(S)
-                    mask = np.zeros(S.n, bool)
-                    mask[p[rem0:n]] = True
                     done = self._completion_device(
-                        dcsr, jnp.asarray(mask), rb, basis, rounds)
+                        dcsr, p[rem0:n], comp_vals(np.arange(rem0, n)),
+                        rb, basis)
                     tick("completion")
                     if done:
                         log.info("[finish/device] early abort: remaining "

@@ -41,3 +41,40 @@ def test_prng_balanced_range():
     for _ in range(1000):
         v = g.zzp()
         assert -4294967291 // 2 <= v <= 4294967291 // 2
+
+
+def test_finisher_stream_pinned(matrix_dir):
+    """The device finisher's randomized draws run through the reference
+    PRNG seeded by the matrix fingerprint (SURVEY §4): pin the exact
+    stream for a fixed fixture so any regression to ad-hoc RNGs (or a
+    fingerprint change) is caught.  seq 0 = combination draws, seq 1 =
+    completion-test coefficients (echelonize.finish_device_dense)."""
+    import numpy as np
+    from spasm_tpu import sio
+    from spasm_tpu.hashing import PRNG
+    _, fp = sio.load_csr(matrix_dir / "medium.sms", 42013, want_hash=True)
+    assert fp.hex() == ("f1776104707985c09393cddd99c03eba"
+                        "1d716c42b5c6643fdcbd3c55d1bf0085")
+    assert list(PRNG(42013, fp).uniform_array(4, 1000)) == \
+        [641, 644, 34, 381]
+    assert list(PRNG(42013, fp, seq=1).zzp_array(4)) == \
+        [-482, 13970, -12813, 4813]
+
+
+def test_batched_draws_match_scalar():
+    """u32_array / zzp_array / uniform_array consume the stream exactly
+    like the scalar loops (accepted-subsequence equivalence)."""
+    import numpy as np
+    from spasm_tpu.hashing import PRNG
+    g1 = PRNG.from_u64(42013, 5, 3)
+    g2 = PRNG.from_u64(42013, 5, 3)
+    a = [g1.zzp() for _ in range(257)]
+    assert np.array_equal(a, g2.zzp_array(257))
+    # interleaving scalar and batched draws hits the same stream
+    g1 = PRNG.from_u64(257, 1, 0)
+    g2 = PRNG.from_u64(257, 1, 0)
+    x1 = ([g1.uniform(100) for _ in range(7)]
+          + list(g1.uniform_array(500, 100))
+          + [g1.uniform(100) for _ in range(5)])
+    x2 = [g2.uniform(100) for _ in range(512)]
+    assert x1 == x2
