@@ -232,24 +232,133 @@ def bench_pluq_gesv_kernel():
             "kernel_s": round(kernel_s, 3), "kernel_dim": int(K.n)}
 
 
+def _scc_banded(n: int, blk: int, extra: int, p: int):
+    """n x n instance with ~n/blk SCCs of size blk: unit diagonal, a
+    superdiagonal within each block, a band-closing entry per block, and
+    `extra` random strictly-upper entries (cross-SCC DAG edges)."""
+    from spasm_tpu.csr import COO
+    rng = np.random.default_rng(7)
+    di = np.arange(n)
+    sup_i = np.asarray([i for i in range(n) if (i + 1) % blk], np.int64)
+    sup_j = sup_i + 1
+    base = np.arange(0, n - blk + 1, blk)
+    close_i, close_j = base, base + blk - 1          # cycle closers
+    xi = rng.integers(0, n - 1, extra)
+    xj = rng.integers(1, n, extra)
+    up = xi < xj
+    # within-block chain points UP (i -> i+1); the closer points DOWN
+    # (base+blk-1 -> base), so each block is one directed cycle = 1 SCC
+    rows = np.concatenate([di, sup_i, close_j, xi[up]])
+    cols = np.concatenate([di, sup_j, close_i, xj[up]])
+    vals = rng.integers(1, p, rows.size)
+    T = COO.from_entries(n, n, p, rows, cols, vals)
+    return T.tocsr()
+
+
 def bench_dm_cert():
-    """Config 5: DM + SCC + rank certificates."""
+    """Config 5: DM + SCC + rank certificates at >= 1e5 rows
+    (round-4 verdict task 6): 120k x 120k with 15k SCC blocks through
+    DM, and a full certificate roundtrip on a 120k-row factorization."""
     from spasm_tpu import (sio, dulmage_mendelsohn, echelonize,
                            EchelonizeOptions, rank_certificate_create,
                            rank_certificate_verify)
-    A, _ = sio.load_csr("tests/Matrix/dm.sms", 42013)
+    import hashlib
+    N = 120_000
+    A = _scc_banded(N, 8, 4 * N, 42013)
     t0 = time.time()
-    dulmage_mendelsohn(A)
+    dm = dulmage_mendelsohn(A)
     dm_s = time.time() - t0
-    B, fp = sio.load_csr("tests/Matrix/medium.sms", 42013,
-                         want_hash=True)
-    fact = echelonize(B.copy(), EchelonizeOptions(L=True, complete=True))
+    # certificate on a 120k full-rank instance whose pivots are all
+    # structural (upper-triangular + random upper fill) — the timed
+    # section is the certificate roundtrip, not the factorization
+    from spasm_tpu.csr import COO
+    rng = np.random.default_rng(11)
+    di = np.arange(N)
+    xi = rng.integers(0, N - 1, 4 * N)
+    xj = rng.integers(1, N, 4 * N)
+    keep = xi < xj
+    T = COO.from_entries(N, N, 42013,
+                         np.concatenate([di, xi[keep]]),
+                         np.concatenate([di, xj[keep]]),
+                         rng.integers(1, 42013, N + int(keep.sum())))
+    T.n = T.m = N
+    Ac = T.tocsr()
+    fp = hashlib.sha256(b"dm_cert_bench").digest()
+    fact = echelonize(Ac.copy(),
+                      EchelonizeOptions(L=True, complete=True))
     t0 = time.time()
-    cert = rank_certificate_create(B, fp, fact)
-    ok = rank_certificate_verify(B, fp, cert)
+    cert = rank_certificate_create(Ac, fp, fact)
+    ok = rank_certificate_verify(Ac, fp, cert)
     cert_s = time.time() - t0
-    return {"dm_s": round(dm_s, 3), "cert_roundtrip_s": round(cert_s, 3),
-            "cert_ok": bool(ok)}
+    # keep the fixture-scale smoke numbers too
+    As, _ = sio.load_csr("tests/Matrix/dm.sms", 42013)
+    t0 = time.time()
+    dulmage_mendelsohn(As)
+    dm_small_s = time.time() - t0
+    return {"n": N, "dm_s": round(dm_s, 2), "dm_blocks": int(dm.nb),
+            "cert_roundtrip_s": round(cert_s, 2), "cert_ok": bool(ok),
+            "cert_rank": int(cert.r), "dm_small_s": round(dm_small_s, 3)}
+
+
+def bench_published_workflows():
+    """The reference's published hard-instance regimes, end-to-end via
+    the CLI tools (round-4 verdict task 7):
+      * relat8-shaped — huge advertized dimensions with many empty
+        rows/columns, requiring `stack` preprocessing before rank
+        (/root/reference/README.md:80-84);
+      * M0,6-D9-shaped — rank with the greedy pivot search disabled
+        (/root/reference/README.md:75-78)."""
+    import os
+    import subprocess
+    import tempfile
+    from spasm_tpu.csr import COO
+    from spasm_tpu import sio
+    from spasm_tpu.gen import synthetic_sparse
+    out = {}
+    rng = np.random.default_rng(3)
+    N, M_, ln, lm, nnz = 250_000, 120_000, 80_000, 50_000, 600_000
+    lr = rng.choice(N, ln, replace=False)
+    lc = rng.choice(M_, lm, replace=False)
+    T = COO.from_entries(N, M_, 42013, lr[rng.integers(0, ln, nnz)],
+                         lc[rng.integers(0, lm, nnz)],
+                         rng.integers(1, 42013, nnz))
+    T.n, T.m = N, M_
+    A = T.tocsr()
+    fd, path = tempfile.mkstemp(suffix=".sms")
+    with os.fdopen(fd, "w") as f:
+        sio.save_csr(A, f)
+    try:
+        t0 = time.time()
+        st = subprocess.run(
+            [sys.executable, "-m", "spasm_tpu.cli.stack"],
+            stdin=open(path), capture_output=True, text=True, check=True)
+        rk = subprocess.run(
+            [sys.executable, "-m", "spasm_tpu.cli.rank", "--modulus",
+             "42013"], input=st.stdout, capture_output=True, text=True,
+            check=True)
+        out["relat_like_stack_rank"] = {
+            "n": N, "m": M_, "nnz": int(A.nnz),
+            "rank": int(rk.stdout.strip().split()[-1]),
+            "pipeline_s": round(time.time() - t0, 2)}
+    finally:
+        os.unlink(path)
+    B = synthetic_sparse(60_000, 30_000, 10, 42013, seed=77)
+    fd, path = tempfile.mkstemp(suffix=".sms")
+    with os.fdopen(fd, "w") as f:
+        sio.save_csr(B, f)
+    try:
+        t0 = time.time()
+        rk = subprocess.run(
+            [sys.executable, "-m", "spasm_tpu.cli.rank", "--modulus",
+             "42013", "--no-greedy-pivot-search"],
+            stdin=open(path), capture_output=True, text=True, check=True)
+        out["m06d9_like_no_greedy"] = {
+            "n": B.n, "m": B.m, "nnz": int(B.nnz),
+            "rank": int(rk.stdout.strip().split()[-1]),
+            "pipeline_s": round(time.time() - t0, 2)}
+    finally:
+        os.unlink(path)
+    return out
 
 
 def bench_mxu():
@@ -314,6 +423,7 @@ def main():
     detail["config5_dm_cert"] = bench_dm_cert()
     if not quick:
         detail["config3_gl7d_workflow"] = bench_gl7d_workflow()
+        detail["published_workflows"] = bench_published_workflows()
     mk13 = bench_mk13() if not quick else {"warm_s": float("nan")}
     detail["mk13_b5"] = mk13
     if not quick:

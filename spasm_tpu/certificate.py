@@ -48,19 +48,18 @@ def rank_certificate_create(A: CSR, hash_: bytes, fact: LU
     jj = np.nonzero(np.asarray(fact.qinv) >= 0)[0].astype(np.int64)
 
     gen = PRNG(A.prime, hash_, 0)
-    # challenge 1: y supported on pivot columns
+    # challenge 1: y supported on pivot columns (batched draws consume
+    # the stream exactly like the reference's per-element loop)
     y = np.zeros(m, dtype=np.int64)
-    for k in range(r):
-        y[jj[k]] = gen.zzp()
+    y[jj] = gen.zzp_array(r)
     _, x = solve(fact, y)
     xx = x[ii].astype(np.int32)
 
-    # challenge 2: x random outside pivot rows
+    # challenge 2: x random outside pivot rows (ascending row order)
     xv = np.full(n, _BOT, dtype=np.int64)
     xv[ii] = 0
-    for i in range(n):
-        if xv[i] == _BOT:
-            xv[i] = -gen.zzp()
+    free = np.nonzero(xv == _BOT)[0]
+    xv[free] = -gen.zzp_array(free.size).astype(np.int64)
     y = np.zeros(m, dtype=np.int32)
     xApy(xv.astype(np.int32), A, y)
     _, x2 = solve(fact, y.astype(np.int64))
@@ -89,15 +88,14 @@ def rank_certificate_verify(A: CSR, hash_: bytes,
     x[proof.i] = proof.x
     y = np.zeros(m, dtype=np.int32)
     xApy(x, A, y)
-    for k in range(r):
-        if y[proof.j[k]] != gen.zzp():
-            correct = False
+    if not np.array_equal(y[proof.j],
+                          gen.zzp_array(r).astype(np.int32)):
+        correct = False
     # check 2: (y at pivot rows, challenge elsewhere) * A == 0
     xv = np.full(n, _BOT, dtype=np.int64)
     xv[proof.i] = proof.y
-    for i in range(n):
-        if xv[i] == _BOT:
-            xv[i] = gen.zzp()
+    free = np.nonzero(xv == _BOT)[0]
+    xv[free] = gen.zzp_array(free.size).astype(np.int64)
     y = np.zeros(m, dtype=np.int32)
     xApy(xv.astype(np.int32), A, y)
     if np.any(y):
@@ -115,10 +113,11 @@ def factorization_verify(A: CSR, fact: LU, seed: int) -> bool:
     pivotal = np.zeros(n, dtype=bool)
     pivotal[np.asarray(fact.p[:r], np.int64)] = True
     gen = PRNG.from_u64(A.prime, seed, 0)
-    x = np.empty(n, dtype=np.int32)
-    for i in range(n):
-        v = gen.zzp()
-        x[i] = v if (fact.complete or pivotal[i]) else 0
+    # the reference draws for EVERY row and zeroes non-pivotal ones, so
+    # the batched draw consumes the same stream
+    x = gen.zzp_array(n).astype(np.int32)
+    if not fact.complete:
+        x[~pivotal] = 0
     t = np.zeros(m, dtype=np.int32)
     xApy(x, A, t)
     y = np.zeros(r, dtype=np.int32)

@@ -27,31 +27,29 @@ class DM:
     cc: np.ndarray      # (5,) coarse column decomposition
 
 
-def _bfs(A: CSR, wi, wj, queue, imatch, jmatch, mark):
-    """BFS over alternating paths from unmatched rows (spasm_dm.c:21-59)."""
+def _bfs(A: CSR, wi, wj, imatch, jmatch, mark):
+    """BFS over alternating paths from unmatched rows (spasm_dm.c:21-59),
+    vectorized frontier-at-a-time: per level, one flat gather of the
+    frontier rows' columns, mask-filter the unvisited, hop through the
+    matching — O(nnz) numpy instead of a per-edge Python loop."""
+    from .csr import _concat_ranges
     indptr, indices = A.indptr, A.indices
-    n = A.n
-    tail = 0
-    for i in range(n):
-        if jmatch[i] >= 0:
-            continue
-        wi[i] = 0
-        queue[tail] = i
-        tail += 1
-    head = 0
-    while head < tail:
-        i = queue[head]
-        head += 1
-        for j in indices[indptr[i]:indptr[i + 1]]:
-            if wj[j] >= 0:
-                continue
-            wj[j] = mark
-            I = imatch[j]
-            if wi[I] >= 0:
-                continue
-            wi[I] = mark
-            queue[tail] = I
-            tail += 1
+    frontier = np.nonzero(np.asarray(jmatch[:A.n]) < 0)[0]
+    wi[frontier] = 0
+    while frontier.size:
+        starts = indptr[frontier]
+        lens = (indptr[frontier + 1] - starts).astype(np.int64)
+        cols = indices[_concat_ranges(starts, lens)].astype(np.int64)
+        cols = np.unique(cols)
+        cols = cols[wj[cols] < 0]
+        wj[cols] = mark
+        # a maximum matching admits no augmenting path, so every reached
+        # column is matched; keep the guard for partial matchings
+        nxt = imatch[cols]
+        nxt = np.unique(nxt[nxt >= 0])
+        nxt = nxt[wi[nxt] < 0]
+        wi[nxt] = mark
+        frontier = nxt
 
 
 def strongly_connected_components(A: CSR) -> DM:
@@ -134,31 +132,27 @@ def dulmage_mendelsohn(A: CSR) -> DM:
     wj = np.full(m, -1, dtype=np.int64)
 
     # find R0, then R3, C3 / find C0, then R1, C1
-    _bfs(A, wi, wj, p, imatch, jmatch, 3)
-    _bfs(At, wj, wi, q, jmatch, imatch, 1)
+    _bfs(A, wi, wj, imatch, jmatch, 3)
+    _bfs(At, wj, wi, jmatch, imatch, 1)
 
-    # collect in q: C0, C1, C2, C3 ; p: R1, R2, R3, R0
-    kc = 0
-    for j in range(m):            # C0: unmatched columns
-        if wj[j] == 0:
-            q[kc] = j
-            kc += 1
+    # collect in q: C0, C1, C2, C3 ; p: R1, R2, R3, R0 (vectorized
+    # masks; np.nonzero preserves the reference's ascending-j order)
+    c0 = np.nonzero(wj == 0)[0]
+    kc = c0.size
+    q[:kc] = c0
     cc[1] = kc
     kr = 0
     for mark, cset in ((1, 1), (2, -1), (3, 3)):
-        for j in range(m):
-            if wj[j] != cset:
-                continue
-            p[kr] = imatch[j]
-            kr += 1
-            q[kc] = j
-            kc += 1
+        js = np.nonzero(wj == cset)[0]
+        p[kr:kr + js.size] = imatch[js]
+        q[kc:kc + js.size] = js
+        kr += js.size
+        kc += js.size
         cc[mark + 1] = kc
         rr[mark] = kr
-    for i in range(n):            # R0: unmatched rows
-        if wi[i] == 0:
-            p[kr] = i
-            kr += 1
+    r0 = np.nonzero(wi == 0)[0]   # R0: unmatched rows
+    p[kr:kr + r0.size] = r0
+    kr += r0.size
     rr[4] = kr
     cc[4] = kc
 

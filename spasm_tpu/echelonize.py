@@ -798,9 +798,11 @@ class _Engine:
         # busy, so scale up to an HBM element budget when possible.
         elem_budget = 64 << 20
         while True:
-            nq = int(np.count_nonzero(self.U.qinv < 0))
+            # the device Schur paths materialize a transient FULL-width
+            # (B, m) block before compaction, so the element budget must
+            # divide by m, not by the free-column count
             auto_bs = max(opts.dense_block_size,
-                          elem_budget // max(nq, 1))
+                          elem_budget // max(self.m, 1))
             Sn = min(auto_bs, n - processed)
             if Sn <= 0:
                 break
