@@ -22,14 +22,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int = None, devices=None,
+              process_of=None) -> Mesh:
     """A ('rows', 'cols') mesh over the available devices.
 
-    The factorization puts more devices on 'rows' (the data-parallel
-    axis, which scales with the matrix) than on 'cols'.
+    Two-level when the devices span multiple PROCESSES (multi-host
+    deployment): 'rows' runs across the process (DCN) axis and 'cols'
+    stays within a process, so the width-sharded collectives of the
+    dense stages (all-gathers of pivot-minor data, psums over column
+    shards) ride ICI while the row-partitioned data parallelism — which
+    only communicates at block boundaries — crosses DCN.  Single
+    process falls back to the rows-heavy single-level factorization.
+
+    `process_of` (device -> process id) is injectable for tests; the
+    default is `device.process_index`.
     """
     if devices is None:
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    if process_of is None:
+        process_of = lambda d: getattr(d, "process_index", 0)  # noqa: E731
+    procs = {}
+    for d in devices:
+        procs.setdefault(process_of(d), []).append(d)
+    nproc = len(procs)
+    per = len(devices) // max(nproc, 1)
+    if nproc > 1 and all(len(v) == per for v in procs.values()):
+        grid = np.asarray([procs[k] for k in sorted(procs)], object)
+        return Mesh(grid.reshape(nproc, per), ("rows", "cols"))
     n = len(devices)
     rows = n
     cols = 1
