@@ -412,20 +412,37 @@ def main():
 
     quick = "--quick" in sys.argv
     detail = {}
+
+    def _gc():
+        # long benchmark processes fragment HBM; collect dropped device
+        # buffers between configs so the big PLUQ/finisher allocations
+        # get contiguous space
+        import gc
+        gc.collect()
+
     detail["mxu"] = bench_mxu()
+    _gc()
     detail["config2_spmv_trisolve"] = bench_spmv_trisolve()
+    _gc()
     detail["trefethen_2000"] = bench_trefethen()
+    _gc()
     detail["config3_synthetic"] = {
         "n4000": bench_synthetic(4000),
         "n16000": bench_synthetic(16000) if not quick else None,
     }
+    _gc()
     detail["config4_pluq_gesv_kernel"] = bench_pluq_gesv_kernel()
+    _gc()
     detail["config5_dm_cert"] = bench_dm_cert()
+    _gc()
     if not quick:
         detail["config3_gl7d_workflow"] = bench_gl7d_workflow()
+        _gc()
         detail["published_workflows"] = bench_published_workflows()
+        _gc()
     mk13 = bench_mk13() if not quick else {"warm_s": float("nan")}
     detail["mk13_b5"] = mk13
+    _gc()
     if not quick:
         detail["config1_mk_ladder"] = bench_mk_ladder()
 

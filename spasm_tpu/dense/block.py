@@ -207,30 +207,37 @@ class UEliminator:
         self.runs: List[_Run] = []
         self._dispatch: Optional[List[_Run]] = None
         self._dispatch_src = 0
-        # staged segments not yet composed into chunks:
-        # (offs, cols, vals, pivcols, levels or None) — expanded only
-        # when an elimination actually needs the chunk basis (paths that
-        # never eliminate, e.g. the reduced-basis finisher, pay nothing)
-        self._segments: List[tuple] = []
-        self._deferred: List[tuple] = []     # (thunk, k)
+        # staged items not yet composed into chunks, in INSERTION
+        # order (advisor r4 #3: segments and deferred registrations
+        # must replay in the order they arrived, or a deferred chunk
+        # queued before later row segments would register after them):
+        # ("seg", (offs, cols, vals, pivcols, levels|None)) or
+        # ("def", thunk, k).  Expansion happens only when an
+        # elimination actually needs the chunk basis (paths that never
+        # eliminate, e.g. the reduced-basis finisher, pay nothing).
+        self._staged: List[tuple] = []
+
+    @property
+    def _segments(self):
+        return [it[1] for it in self._staged if it[0] == "seg"]
 
     @property
     def nrows(self) -> int:
         return sum(r.k for r in self.runs) \
-            + sum(len(s[3]) for s in self._segments) \
-            + sum(k for _, k in self._deferred)
+            + sum(len(it[1][3]) if it[0] == "seg" else it[2]
+                  for it in self._staged)
 
     def append_segment(self, offs, cols, vals, pivcols, levels=None):
         """Stage a flat bulk of pivot-first rows (value 1 at pivcols[k]);
         `levels` as in append_rows."""
         if len(pivcols) == 0:
             return
-        self._segments.append((np.asarray(offs, np.int64),
-                               np.asarray(cols, np.int64),
-                               np.asarray(vals, np.int32),
-                               np.asarray(pivcols, np.int64),
-                               None if levels is None
-                               else np.asarray(levels, np.int64)))
+        self._staged.append(("seg", (np.asarray(offs, np.int64),
+                                     np.asarray(cols, np.int64),
+                                     np.asarray(vals, np.int32),
+                                     np.asarray(pivcols, np.int64),
+                                     None if levels is None
+                                     else np.asarray(levels, np.int64))))
 
     def append_rows(self, rows, flush: bool = True, levels=None):
         """rows: iterable of (cols int64[], vals int32[], pivcol).
@@ -257,17 +264,17 @@ class UEliminator:
         chunk the finisher produced); it runs at the next flush, so
         paths that never eliminate again (rank-only) never pay for its
         gathers/pads/uploads."""
-        self._deferred.append((thunk, k))
+        self._staged.append(("def", thunk, k))
 
-    def _staged_rows(self):
+    @staticmethod
+    def _expand_segments(segs):
         """Expand staged segments to per-row tuples (flush-time only)."""
         out = []
-        for offs, cols, vals, pivcols, levels in self._segments:
+        for offs, cols, vals, pivcols, levels in segs:
             for k in range(len(pivcols)):
                 sl = slice(offs[k], offs[k + 1])
                 out.append((cols[sl], vals[sl], int(pivcols[k]),
                             -1 if levels is None else int(levels[k])))
-        self._segments = []
         return out
 
     # level-aligned chunks can grow to this many rows (one scan step
@@ -276,14 +283,20 @@ class UEliminator:
     _WIDE_CHUNK = 4096
 
     def flush(self):
-        if self._segments:
-            self._flush_segments()
-        while self._deferred:
-            thunk, _ = self._deferred.pop(0)
-            thunk(self)
+        staged, self._staged = self._staged, []
+        run: List[tuple] = []
+        for it in staged:                 # replay in insertion order
+            if it[0] == "seg":
+                run.append(it[1])
+            else:
+                if run:
+                    self._flush_segments(self._expand_segments(run))
+                    run = []
+                it[1](self)
+        if run:
+            self._flush_segments(self._expand_segments(run))
 
-    def _flush_segments(self):
-        stage = self._staged_rows()
+    def _flush_segments(self, stage):
         # partition the stage into chunks: aligned to level boundaries
         # (same-level rows -> no composition, so the wider the better),
         # respecting the dense budget

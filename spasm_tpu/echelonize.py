@@ -952,6 +952,11 @@ class _Engine:
             max(opts.low_rank_start_weight, 1)
         if opts.low_rank_start_weight < 0:
             w = min(w, 8)
+        # combination-weight ceiling: _form_chunk's small-tier scatter
+        # accumulates up to w colliding balanced entries in int32, so
+        # w * (p//2) must stay below 2^31 (advisor r4 finding #1)
+        w_cap = max(1, ((1 << 31) - 1) // max(prime // 2, 1))
+        w = min(w, w_cap)
         # deterministic draws bound to the input matrix through the
         # reference PRNG (SURVEY §4 randomness discipline): SHA-256
         # counter mode seeded by the matrix fingerprint; seq 0 feeds the
@@ -1056,7 +1061,8 @@ class _Engine:
                 if rr >= 0.02 * N:
                     log.info("[finish/device] weak round; weight "
                              "%d -> %d", w, 2 * w)
-                    w = min(2 * w, max(n, 1))
+                    w = min(2 * w, max(n, 1), w_cap)
+                    prefetched = None    # formed with the stale weight
                     continue
                 if dcsr is None:
                     from .device_csr import DeviceCSR
@@ -1068,7 +1074,8 @@ class _Engine:
                     break
                 log.info("[finish/device] completion test failed; "
                          "weight %d -> %d", w, 2 * w)
-                w = min(2 * w, max(n, 1))
+                w = min(2 * w, max(n, 1), w_cap)
+                prefetched = None        # formed with the stale weight
             elif not lowrank and rr == 0 and rank_ub > 0:
                 # rows-mode early abort (the GPLU analog,
                 # spasm_echelonize.c:84-95): a zero-yield block with
