@@ -287,9 +287,16 @@ class ReducedBasis:
         # read as zero.  Splitting WITHIN a group is always safe.
         K = _k_bucket(int(lens.max(initial=1)))
         # keep one chunk's (S, K, M) reference gather within budget
-        # (skewed row lengths raise K for everyone; shrink S to match)
+        # (skewed row lengths raise K for everyone; shrink S to match).
+        # When even S=64 would blow the budget (one very long row in a
+        # wide basis), shrink the chunk height further instead of
+        # allocating past the budget (advisor r4 finding #2).
         tiers = [t for t in self._TIERS
-                 if t[0] * K * self.M <= (1 << 30)] or [self._TIERS[0]]
+                 if t[0] * K * self.M <= (1 << 30)]
+        if not tiers:
+            s_small = max(1, (1 << 30) // max(K * self.M, 1))
+            s_small = 1 << (s_small.bit_length() - 1)
+            tiers = [(s_small, 64)]
         Smax = tiers[-1][0]
         chunks: List[Tuple[int, int, int]] = []     # (o0, sz, S-tier)
         for ri in range(len(runs) - 1):

@@ -123,6 +123,158 @@ except Exception:                        # pragma: no cover
     _HAVE_PL = False
 
 
+def _row_sweep_kernel2(p_ref, P_ref, P_out, piv_out, aug, pst, *,
+                       nb: int, r1: bool):
+    """Augmented-tile row sweep: per-TILE passes confine the sequential
+    Jordan steps to an (nb, TW + nb) window — the per-step update cost
+    of the v1 kernel scaled with the FULL width M (measured VPU-bound at
+    ~27 us/step at M = 22528), here it is ~TW/M of that — and each
+    pass's accumulated transform Z is composed into the other tiles with
+    int8 digit matmuls on the MXU.
+
+    Pivot choice differs from v1 (leftmost within the lowest non-empty
+    tile at the row's step, not the global leftmost): any unit-pivot
+    echelon basis is valid downstream (qinv carries the columns), same
+    freedom the reference exercises by reducing A*Q (spasm_rref.c:10-20).
+
+    pst scratch (nb, 128) carries per-row state: col 0 = pivoted flag,
+    col 1 = absolute pivot column.
+    """
+    from .sweep_pallas import _reduce31 as red31
+    p = p_ref[0, 0]
+    invp = jnp.float32(1.0) / p.astype(jnp.float32)
+    M = P_ref.shape[1]
+    TW = _SWEEP_TW
+    T = M // TW
+    W = TW + 128                             # aug width (lane-aligned)
+    rounds = 1 if r1 else 2
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lane_wn = jax.lax.broadcasted_iota(jnp.int32, (nb, W), 1)
+    sub_wn = jax.lax.broadcasted_iota(jnp.int32, (nb, W), 0)
+    sub_nb1 = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    lane_128 = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
+    lane_nbnb = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    sub_nbnb = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+
+    P_out[:, :] = P_ref[:, :]
+    pst[:, :] = jnp.zeros((nb, 128), jnp.int32)
+    # digit weights 256^s mod p, balanced (w2 = 65536 mod p)
+    w1 = red31(jnp.full((1, 1), 256, jnp.int32), p, invp)[0, 0]
+    w2 = red31(w1 * w1, p, invp)
+
+    # pass/compose loops are fori_loops with traced tile offsets: the
+    # unrolled form traced ~10x more ops, and the TRACE/LOWER time of
+    # the enclosing jit (not XLA compile, which is cached) dominated
+    # cold start at ~30 s per variant
+    def tile_pass(t, _):
+        c0 = pl.multiple_of(t * jnp.int32(TW), TW)
+        tile0 = P_out[:, pl.ds(c0, TW)].astype(jnp.int32)
+        pstv = pst[:, :]
+        unp = (pstv[:, :1] == 0).astype(jnp.int32)         # (nb, 1)
+        cand = jnp.max(unp * jnp.max(
+            jnp.where(tile0 != 0, jnp.int32(1), jnp.int32(0)),
+            axis=1, keepdims=True), axis=0, keepdims=True)  # (1, 1)
+
+        @pl.when(cand[0, 0] > 0)
+        def _pass():
+            # aug = [tile | I_nb | 0pad]
+            idcols = jnp.where(lane_wn - TW == sub_wn, jnp.int32(1),
+                               jnp.int32(0))
+            aug[:, :] = jnp.where(lane_wn < TW, jnp.int32(0), idcols)
+            aug[:, pl.ds(0, TW)] = tile0
+
+            def step(k, _):
+                prow = pst[pl.ds(k, 1), :]
+                flg = jnp.sum(jnp.where(lane_128[:1] == 0, prow,
+                                        jnp.int32(0)),
+                              axis=1, keepdims=True, dtype=jnp.int32)
+
+                @pl.when(flg[0, 0] == 0)
+                def _():
+                    u = aug[pl.ds(k, 1), :]              # (1, W)
+                    nz = jnp.logical_and(u != 0, lane_w < jnp.int32(TW))
+                    j = jnp.min(jnp.where(nz, lane_w, jnp.int32(W)),
+                                axis=1, keepdims=True)
+                    hasb = j[0, 0] < jnp.int32(TW)
+
+                    @pl.when(hasb)
+                    def _():
+                        jj = j[0, 0]
+                        at_j = lane_wn == jj
+                        graw = jnp.sum(jnp.where(at_j,
+                                                 aug[:, :],
+                                                 jnp.int32(0)),
+                                       axis=1, keepdims=True,
+                                       dtype=jnp.int32)        # (nb,1)
+                        v = jnp.sum(jnp.where(sub_nb1 == k, graw,
+                                              jnp.int32(0)),
+                                    axis=0, keepdims=True,
+                                    dtype=jnp.int32)           # (1,1)
+                        g = jnp.where(sub_nb1 != k, graw, jnp.int32(0))
+                        aug[:, :] = red31(v * aug[:, :] - g * u, p,
+                                          invp, rounds)
+                        newrow = jnp.where(
+                            lane_128[:1] == 0, jnp.int32(1),
+                            jnp.where(lane_128[:1] == 1,
+                                      c0 + jj, jnp.int32(0)))
+                        pst[pl.ds(k, 1), :] = newrow
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), step,
+                              jnp.int32(0))
+            P_out[:, pl.ds(c0, TW)] = aug[:, pl.ds(0, TW)] \
+                .astype(P_out.dtype)
+            # compose Z into every other tile via int8 digit dots (MXU)
+            Z = aug[:, pl.ds(TW, 128)][:, :nb]           # (nb, nb)
+            z0 = ((Z + 128) & 255) - 128
+            z1 = (Z - z0) >> 8
+            z0_8 = z0.astype(jnp.int8)
+            z1_8 = z1.astype(jnp.int8)
+
+            def compose(tt, _):
+                @pl.when(tt != t)
+                def _():
+                    ct = pl.multiple_of(tt * jnp.int32(TW), TW)
+                    tl = P_out[:, pl.ds(ct, TW)].astype(jnp.int32)
+                    x0 = ((tl + 128) & 255) - 128
+                    x1 = (tl - x0) >> 8
+                    x0_8 = x0.astype(jnp.int8)
+                    x1_8 = x1.astype(jnp.int8)
+                    d00 = jnp.dot(z0_8, x0_8,
+                                  preferred_element_type=jnp.int32)
+                    d01 = jnp.dot(z0_8, x1_8,
+                                  preferred_element_type=jnp.int32)
+                    d10 = jnp.dot(z1_8, x0_8,
+                                  preferred_element_type=jnp.int32)
+                    d11 = jnp.dot(z1_8, x1_8,
+                                  preferred_element_type=jnp.int32)
+                    b0 = red31(d00, p, invp)
+                    b1 = red31(d01 + d10, p, invp)
+                    b2 = red31(d11, p, invp)
+                    res = red31(b0 + w1 * b1 + w2 * b2, p, invp)
+                    P_out[:, pl.ds(ct, TW)] = res.astype(P_out.dtype)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), compose,
+                              jnp.int32(0))
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), tile_pass,
+                      jnp.int32(0))
+
+    # piv_out[0, k] = pivabs if pivoted else -1 (transpose via diag)
+    pfin = pst[:, :]
+    flags = jnp.sum(jnp.where(lane_128 == 0, pfin, jnp.int32(0)),
+                    axis=1, keepdims=True, dtype=jnp.int32)
+    absj = jnp.sum(jnp.where(lane_128 == 1, pfin, jnp.int32(0)),
+                   axis=1, keepdims=True, dtype=jnp.int32)
+    vals = jnp.where(flags == 1, absj, jnp.int32(-1))
+    piv_out[:, :] = jnp.sum(
+        jnp.where(lane_nbnb == sub_nbnb,
+                  jnp.broadcast_to(vals, (nb, nb)), jnp.int32(0)),
+        axis=0, keepdims=True, dtype=jnp.int32)
+
+
 def _row_sweep_pallas(P, p32, nb: int, r1: bool = False):
     """P (nb, M) int32 -> (P', pivcol (1, nb) int32).
 
@@ -140,6 +292,44 @@ def _row_sweep_pallas(P, p32, nb: int, r1: bool = False):
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         input_output_aliases={1: 0},
     )(p32.reshape(1, 1), P)
+
+
+def _row_sweep_pallas2(P, p32, nb: int, r1: bool = False):
+    """Augmented-tile variant (see _row_sweep_kernel2): same contract
+    as _row_sweep_pallas, different (equally valid) pivot columns."""
+    kernel = functools.partial(_row_sweep_kernel2, nb=nb, r1=r1)
+    W = _SWEEP_TW + 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(P.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((1, nb), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((nb, W), jnp.int32),
+                        pltpu.VMEM((nb, 128), jnp.int32)],
+        input_output_aliases={1: 0},
+    )(p32.reshape(1, 1), P)
+
+
+_SWEEP2_OK = None
+
+
+def _sweep2_available() -> bool:
+    global _SWEEP2_OK
+    if _SWEEP2_OK is None:
+        try:
+            if jax.default_backend() != "tpu" or not _HAVE_PL:
+                _SWEEP2_OK = False
+            else:
+                P = jnp.zeros((16, 2 * _SWEEP_TW), jnp.int32)
+                out = _row_sweep_pallas2(P, jnp.full((1, 1), 42013,
+                                                     jnp.int32), 16)
+                jax.block_until_ready(out)
+                _SWEEP2_OK = True
+        except Exception:                # pragma: no cover
+            _SWEEP2_OK = False
+    return _SWEEP2_OK
 
 
 _SWEEP_OK = None
@@ -164,11 +354,12 @@ def _sweep_pallas_available(dtype) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("d", "nb", "sweep_small",
-                                    "use_pallas", "sweep_r1"),
+                                    "use_pallas", "sweep_r1",
+                                    "use_pallas2"),
                    donate_argnums=(0,))
 def _rref_rows(X, p, weights, d: int, nb: int = 64,
                sweep_small: bool = False, use_pallas: bool = False,
-               sweep_r1: bool = False):
+               sweep_r1: bool = False, use_pallas2: bool = False):
     """Row-sweep RREF of X (B, M) int32 balanced, B % nb == 0, last
     column dead (all zero).  Returns (X', pivcol):
 
@@ -203,12 +394,16 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
             # prior-elimination matmuls keep full-height MXU operands.
             SB = 64
             p32 = p.astype(jnp.int32).reshape(1, 1)
-            pivl = jnp.full((nb,), -1, jnp.int32)
             iota_sub = jnp.arange(SB)
-            for s in range(nb // SB):
-                Ps = jax.lax.dynamic_slice(P, (s * SB, 0), (SB, M))
-                Ps, pr = _row_sweep_pallas(Ps.astype(jnp.int32), p32, SB,
-                                           r1=sweep_r1)
+            sweep = _row_sweep_pallas2 if use_pallas2 \
+                else _row_sweep_pallas
+
+            def subpanel(s, carry):
+                P, pivl = carry
+                off = s * SB
+                Ps = jax.lax.dynamic_slice(P, (off, 0), (SB, M))
+                Ps, pr = sweep(Ps.astype(jnp.int32), p32, SB,
+                               r1=sweep_r1)
                 pr = pr[0]
                 # normalize to unit pivots (canonical rows)
                 pvs = Ps[iota_sub, jnp.where(pr >= 0, pr, M - 1)]
@@ -218,15 +413,20 @@ def _rref_rows(X, p, weights, d: int, nb: int = 64,
                 # eliminate the sub-panel's pivots from every other row
                 prs = jnp.where(pr >= 0, pr, M - 1)
                 C = P[:, prs]                         # (nb, SB)
-                insub = (iota_nb >= s * SB) & (iota_nb < (s + 1) * SB)
+                insub = (iota_nb >= off) & (iota_nb < off + SB)
                 C = jnp.where((~insub[:, None]) & (pr >= 0)[None, :],
                               C, 0)
                 delta = matmul_digits(C.astype(jnp.int32),
                                       Ns.astype(jnp.int32), p, weights,
                                       d)
                 P = _submod(P, delta, p, small).astype(X.dtype)
-                P = jax.lax.dynamic_update_slice(P, Ns, (s * SB, 0))
-                pivl = jax.lax.dynamic_update_slice(pivl, pr, (s * SB,))
+                P = jax.lax.dynamic_update_slice(P, Ns, (off, 0))
+                pivl = jax.lax.dynamic_update_slice(pivl, pr, (off,))
+                return P, pivl
+
+            P, pivl = jax.lax.fori_loop(
+                0, nb // SB, subpanel,
+                (P, jnp.full((nb,), -1, jnp.int32)))
         else:
             def step(k, c):
                 P, pivl = c
@@ -282,18 +482,23 @@ def rref_rows_device(Xd, p: int, nb: int = 64, sync: bool = True):
     pall = (F.ndigits == 2 and p <= PALLAS_MAX_PRIME
             and Xd.shape[1] % _SWEEP_TW == 0
             and _sweep_pallas_available(Xd.dtype))
+    # the augmented-tile kernel needs >= 2 tiles to have anything to
+    # compose; at M == TW the v1 kernel is equivalent anyway
+    pall2 = (pall and Xd.shape[1] >= 2 * _SWEEP_TW
+             and _sweep2_available())
     if pall and nb % 64:
         nb = 64
         while B % nb:
             nb //= 2
         if nb < 64:
             pall = False
+            pall2 = False
     # one-round Barrett is exact inside the sweep for p >= 1024:
     # |v*tl - g*ut| <= 2(p/2)^2 keeps the round-1 residue within the
     # two-correction range (0.51p + 254 <= 1.5p)
     Xd, pivcol = _rref_rows(Xd, jnp.int64(p), jnp.asarray(F.weights),
                             F.ndigits, nb, p <= (1 << 23), pall,
-                            p >= 1024)
+                            p >= 1024, pall2)
     return Xd, (np.asarray(pivcol) if sync else pivcol)
 
 

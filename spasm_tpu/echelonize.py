@@ -679,6 +679,8 @@ class _Engine:
         import jax.numpy as jnp
         from .dense.reduced import ReducedBasis
         from .schur import _pack_nonzero_device
+        import os
+        from .schur import _pack_nonzero_dispatch, _pack_nonzero_finish
         qfree = np.nonzero(self.U.qinv < 0)[0]
         rb = ReducedBasis(self.m, self.prime, qfree, self.U.n)
         offs_u, cols_u, vals_u, piv_u, grp_u = self.U.flat_store()
@@ -690,15 +692,32 @@ class _Engine:
         counts = np.zeros(n, np.int64)
         p_out = np.asarray(p_in, np.int64)[rows_p[:n]] \
             if p_in is not None else np.asarray(rows_p[:n], np.int64)
+        # one-deep software pipeline (SURVEY §2.4 PP): block b's device
+        # forming/counting overlaps block b-1's device->host drain and
+        # host packing; SPASM_NO_OVERLAP=1 reverts to strict order
+        overlap = not os.environ.get("SPASM_NO_OVERLAP")
+        pending = None
+
+        def drain(pend):
+            b0p, r, c, v = pend[0], *_pack_nonzero_finish(pend[1])
+            np.add.at(counts, b0p + r.astype(np.int64), 1)
+            tri_r.append(b0p + r.astype(np.int64))
+            tri_c.append(qfree[c.astype(np.int64)].astype(np.int32))
+            tri_v.append(v)
+
         for b0 in range(0, n, B):
             idx = rows_p[b0:b0 + B]
             eidx, coeff = rb.flat_rows(S.indptr, idx)
             Xd = rb.form_block(eidx, coeff, Bp=B)
-            r, c, v = _pack_nonzero_device(Xd, len(idx), rb.nq)
-            np.add.at(counts, b0 + r.astype(np.int64), 1)
-            tri_r.append(b0 + r.astype(np.int64))
-            tri_c.append(qfree[c.astype(np.int64)].astype(np.int32))
-            tri_v.append(v)
+            disp = _pack_nonzero_dispatch(Xd, len(idx), rb.nq)
+            if pending is not None:
+                drain(pending)
+            pending = (b0, disp)
+            if not overlap:
+                drain(pending)
+                pending = None
+        if pending is not None:
+            drain(pending)
         indptr = np.zeros(n + 1, np.int64)
         np.cumsum(counts, out=indptr[1:])
         S2 = CSR(n, self.m, self.field, indptr,
@@ -1020,7 +1039,10 @@ class _Engine:
                 tick("form", Xq)
             Xq = basis.apply(Xq)
             tick("apply", Xq)
-            Xq, pivd = rref_rows_device(Xq, prime, nb=128, sync=False)
+            # nb=512 panels: the per-panel back-reduction sweeps the whole
+            # (B, M) block, so fewer/larger panels cut that traffic
+            # ~2x (measured 175 -> 94 ms per 4096x22528 block)
+            Xq, pivd = rref_rows_device(Xq, prime, nb=512, sync=False)
             tick("rref_dispatch")
             # overlap the next block's host prep + forming with the
             # in-flight RREF: its gathers only touch R (not the basis),

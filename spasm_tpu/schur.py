@@ -114,19 +114,24 @@ def _jit_live_count():
 _PACK_FNS = None
 
 
-def _pack_nonzero_device(Xd, nrows: int, m: int):
-    """Pack the nonzero entries of Xd[:nrows, :m] into flat (rows, cols,
-    vals) numpy arrays, row-major sorted.
-
-    The dense block never crosses device->host — only one count scalar
-    and the packed entries (capacity-bucketed so compile variants stay
-    bounded; never retried: the cap comes from the exact count).
-    """
+def _pack_nonzero_dispatch(Xd, nrows: int, m: int):
+    """Async half of _pack_nonzero_device: dispatch the live-entry
+    count; no device sync happens until the matching _finish.  Lets a
+    caller overlap the NEXT block's device work with this block's
+    devicehost drain (SURVEY §2.4 PP)."""
     global _PACK_FNS
     if _PACK_FNS is None:
         _PACK_FNS = _jit_live_count()
     _live_count, _pack = _PACK_FNS
     live, cnt = _live_count(Xd, nrows, m)
+    return (Xd, live, cnt)
+
+
+def _pack_nonzero_finish(state):
+    """Sync half: count scalar crosses device->host, then the packed
+    entries (capacity-bucketed so compile variants stay bounded)."""
+    Xd, live, cnt = state
+    _live_count, _pack = _PACK_FNS
     cnt = int(cnt)
     if cnt == 0:
         e = np.empty(0, np.int32)
@@ -137,6 +142,13 @@ def _pack_nonzero_device(Xd, nrows: int, m: int):
     r, c, v = _pack(Xd, live, cap)
     return (np.asarray(r)[:cnt], np.asarray(c)[:cnt],
             np.asarray(v)[:cnt].astype(np.int32))
+
+
+def _pack_nonzero_device(Xd, nrows: int, m: int):
+    """Pack the nonzero entries of Xd[:nrows, :m] into flat (rows, cols,
+    vals) numpy arrays, row-major sorted.  The dense block never crosses
+    device->host — only one count scalar and the packed entries."""
+    return _pack_nonzero_finish(_pack_nonzero_dispatch(Xd, nrows, m))
 
 
 def schur_sparse(A: CSR, p: np.ndarray, n: int, fact, est_density: float,
